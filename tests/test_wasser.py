@@ -1,0 +1,222 @@
+"""Unit tests for the 1-D Wasserstein core (ops/wasser.py).
+
+Mirrors the reference's verification strategy (SURVEY.md section 4):
+finite-difference oracles, N-version cross-validation, and golden values
+captured from the reference implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveform_ot_tpu.ops import (
+    common_cdf_mask, make_density_1d, transport_plan_1d,
+    transport_plan_jacobian, wasser, wasserstein_1d, wasserstein_1d_autodiff,
+)
+
+
+from functools import partial
+
+# jitted wrappers so FD loops don't re-trace per call
+_w1d = jax.jit(wasserstein_1d, static_argnums=4)
+_w1d_grad = jax.jit(jax.grad(wasserstein_1d, argnums=(0, 1, 2, 3)),
+                    static_argnums=4)
+
+
+def random_problem(rng, nf=12, ng=12, irregular=False):
+    f = rng.random(nf) + 0.05
+    g = rng.random(ng) + 0.05
+    if irregular:
+        xf = np.sort(rng.random(nf))
+        xg = np.sort(rng.random(ng))
+    else:
+        xf = np.linspace(0.0, 1.0, nf)
+        xg = np.linspace(0.0, 1.0, ng)
+    return jnp.array(f), jnp.array(xf), jnp.array(g), jnp.array(xg)
+
+
+class TestGoldenValues:
+    """Against values captured from the reference wasser (OTlib.py:596-741)."""
+
+    def test_pointmass_w1_w2(self, golden):
+        gd = golden["pointmass"]
+        fx = jnp.array([0.12, 0.25, 0.4, 0.55, 0.7, 0.88])
+        f = jnp.array([0.2, 0.1, 0.25, 0.15, 0.2, 0.1])
+        gx = jnp.array([0.1, 0.3, 0.45, 0.6, 0.75, 0.9])
+        g = jnp.array([0.15, 0.2, 0.1, 0.3, 0.05, 0.2])
+        w1 = wasserstein_1d(f, fx, g, gx, 1)
+        w2 = wasserstein_1d(f, fx, g, gx, 2)
+        assert abs(float(w1) - gd["W1"]) <= 1e-12
+        assert abs(float(w2) - gd["W2"]) <= 1e-12
+        (dW1, dxf1) = jax.grad(wasserstein_1d, argnums=(0, 1))(f, fx, g, gx, 1)
+        (dW2, dxf2) = jax.grad(wasserstein_1d, argnums=(0, 1))(f, fx, g, gx, 2)
+        np.testing.assert_allclose(dW1, gd["dW1"], atol=1e-12)
+        np.testing.assert_allclose(dW2, gd["dW2"], atol=1e-12)
+        assert abs(float(jnp.sum(dxf1)) - gd["dW1t"]) <= 1e-12
+        assert abs(float(jnp.sum(dxf2)) - gd["dW2t"]) <= 1e-12
+
+
+class TestGradients:
+    @pytest.mark.parametrize("p", [1, 2])
+    @pytest.mark.parametrize("irregular", [False, True])
+    def test_fd_amplitudes(self, rng, p, irregular):
+        f, xf, g, xg = random_problem(rng, irregular=irregular)
+        grad = _w1d_grad(f, xf, g, xg, p)[0]
+        eps = 1e-6
+        for i in range(f.shape[0]):
+            fp = f.at[i].add(eps)
+            fm = f.at[i].add(-eps)
+            fd = (_w1d(fp, xf, g, xg, p) - _w1d(fm, xf, g, xg, p)) / (2 * eps)
+            assert abs(float(grad[i]) - float(fd)) < 5e-9
+
+    @pytest.mark.parametrize("p", [1, 2])
+    def test_fd_target_amplitudes(self, rng, p):
+        f, xf, g, xg = random_problem(rng)
+        grad = _w1d_grad(f, xf, g, xg, p)[2]
+        eps = 1e-6
+        for i in range(g.shape[0]):
+            gp = g.at[i].add(eps)
+            gm = g.at[i].add(-eps)
+            fd = (_w1d(f, xf, gp, xg, p) - _w1d(f, xf, gm, xg, p)) / (2 * eps)
+            assert abs(float(grad[i]) - float(fd)) < 5e-9
+
+    def test_fd_positions_w2(self, rng):
+        # W2 is smooth in positions; per-point position gradients FD-check.
+        f, xf, g, xg = random_problem(rng)
+        gr = _w1d_grad(f, xf, g, xg, 2); gxf, gxg = gr[1], gr[3]
+        eps = 1e-6
+        for i in range(xf.shape[0]):
+            xp = xf.at[i].add(eps)
+            xm = xf.at[i].add(-eps)
+            fd = (_w1d(f, xp, g, xg, 2) - _w1d(f, xm, g, xg, 2)) / (2 * eps)
+            assert abs(float(gxf[i]) - float(fd)) < 5e-9
+
+    def test_translation_derivative(self, rng):
+        # rigid shift derivative = sum of per-point position gradients
+        f, xf, g, xg = random_problem(rng)
+        for p in (1, 2):
+            gxf = jax.grad(wasserstein_1d, argnums=1)(f, xf, g, xg, p)
+            fd_shift = jax.grad(
+                lambda s: wasserstein_1d(f, xf + s, g, xg, p))(jnp.zeros(()))
+            assert abs(float(jnp.sum(gxf)) - float(fd_shift)) < 1e-12
+
+    @pytest.mark.parametrize("p", [1, 2])
+    def test_custom_vjp_matches_autodiff(self, rng, p):
+        f, xf, g, xg = random_problem(rng, nf=20, ng=15, irregular=True)
+        w1 = wasserstein_1d(f, xf, g, xg, p)
+        w2 = wasserstein_1d_autodiff(f, xf, g, xg, p)
+        assert abs(float(w1) - float(w2)) < 1e-14
+        g1 = jax.grad(wasserstein_1d, argnums=(0, 2))(f, xf, g, xg, p)
+        g2 = jax.grad(wasserstein_1d_autodiff, argnums=(0, 2))(f, xf, g, xg, p)
+        np.testing.assert_allclose(g1[0], g2[0], atol=1e-12)
+        np.testing.assert_allclose(g1[1], g2[1], atol=1e-12)
+
+    def test_gradient_is_projected(self, rng):
+        # Euler relation for the 0-homogeneous W: f . dW/df == 0
+        f, xf, g, xg = random_problem(rng)
+        gf = jax.grad(wasserstein_1d, argnums=0)(f, xf, g, xg, 2)
+        assert abs(float(jnp.dot(f, gf))) < 1e-12
+
+
+class TestCrossValidation:
+    """N-version validation like the reference __main__ (OTlib.py:1504-1593)."""
+
+    def test_vs_numerical_integration(self, rng):
+        from waveform_ot_tpu.ops.validate import wasserstein_numint
+
+        f, xf, g, xg = random_problem(rng, irregular=True)
+        w1 = float(wasserstein_1d(f, xf, g, xg, 1))
+        w2 = float(wasserstein_1d(f, xf, g, xg, 2))
+        w1n, w2n = wasserstein_numint(np.array(f), np.array(xf),
+                                      np.array(g), np.array(xg))
+        assert abs(w1 - w1n) < 2e-4
+        assert abs(w2 - w2n) < 2e-4
+
+    def test_vs_scipy_linprog(self, rng):
+        from waveform_ot_tpu.ops.validate import wasserstein_linprog
+
+        f, xf, g, xg = random_problem(rng, nf=8, ng=8)
+        for p in (1, 2):
+            w = float(wasserstein_1d(f, xf, g, xg, p))
+            wlp = wasserstein_linprog(np.array(f), np.array(xf),
+                                      np.array(g), np.array(xg), p=p)
+            assert abs(w - wlp) < 1e-7
+
+    def test_vs_monge_two_pointer(self, rng):
+        from waveform_ot_tpu.ops.validate import monge_1d
+
+        n = 16
+        f = rng.random(n) + 0.05
+        g = rng.random(n) + 0.05
+        xf = np.linspace(0.0, 1.0, n)
+        w2 = float(wasserstein_1d(jnp.array(f), jnp.array(xf),
+                                  jnp.array(g), jnp.array(xf), 2))
+        _, w2m = monge_1d(f, g)
+        assert abs(w2 - w2m) < 1e-10
+
+    def test_different_lengths(self, rng):
+        f, xf, g, xg = random_problem(rng, nf=9, ng=17, irregular=True)
+        from waveform_ot_tpu.ops.validate import wasserstein_numint
+
+        w2 = float(wasserstein_1d(f, xf, g, xg, 2))
+        _, w2n = wasserstein_numint(np.array(f), np.array(xf),
+                                    np.array(g), np.array(xg))
+        assert abs(w2 - w2n) < 2e-4
+
+
+class TestTransportPlan:
+    def test_plan_marginals(self, rng):
+        f, xf, g, xg = random_problem(rng)
+        H = transport_plan_1d(f, xf, g, xg)
+        np.testing.assert_allclose(H.sum(axis=1), np.array(f) / np.sum(f),
+                                   atol=1e-12)
+        np.testing.assert_allclose(H.sum(axis=0), np.array(g) / np.sum(g),
+                                   atol=1e-12)
+
+    def test_plan_cost_equals_w(self, rng):
+        f, xf, g, xg = random_problem(rng)
+        H = transport_plan_1d(f, xf, g, xg)
+        cost = (np.array(xf)[:, None] - np.array(xg)[None, :]) ** 2
+        w2 = float(wasserstein_1d(f, xf, g, xg, 2))
+        assert abs(float((H * cost).sum()) - w2) < 1e-12
+
+    def test_plan_jacobian_fd(self, rng):
+        f, xf, g, xg = random_problem(rng, nf=7, ng=7)
+        dH = transport_plan_jacobian(f, xf, g, xg)
+        eps = 1e-7
+        for i in range(f.shape[0]):
+            plan = jax.jit(transport_plan_1d)
+            Hp = plan(f.at[i].add(eps), xf, g, xg)
+            Hm = plan(f.at[i].add(-eps), xf, g, xg)
+            fd = (np.array(Hp) - np.array(Hm)) / (2 * eps)
+            np.testing.assert_allclose(np.array(dH[i]), fd, atol=5e-7)
+
+
+class TestAPI:
+    def test_wasser_wrapper(self, rng):
+        f, xf, g, xg = random_problem(rng)
+        src = make_density_1d(f, xf)
+        tgt = make_density_1d(g, xg)
+        out = wasser(src, tgt, "W12", derivatives=True)
+        w1, dw1, dt1, w2, dw2, dt2 = out
+        assert float(w1) > 0 and float(w2) > 0
+        assert dw1.shape == f.shape
+
+    def test_common_cdf_mask(self):
+        f = jnp.array([0.25, 0.25, 0.25, 0.25])
+        g = jnp.array([0.25, 0.25, 0.25, 0.25])
+        assert bool(common_cdf_mask(f, g).any())
+        g2 = jnp.array([0.3, 0.21, 0.29, 0.2])
+        assert not bool(common_cdf_mask(f, g2).any())
+
+    def test_vmap_and_jit(self, rng):
+        nb = 5
+        f = jnp.array(rng.random((nb, 12)) + 0.05)
+        g = jnp.array(rng.random((nb, 12)) + 0.05)
+        x = jnp.linspace(0.0, 1.0, 12)
+        fn = jax.jit(jax.vmap(lambda a, b: wasserstein_1d(a, x, b, x, 2)))
+        ws = fn(f, g)
+        for i in range(nb):
+            assert abs(float(ws[i])
+                       - float(wasserstein_1d(f[i], x, g[i], x, 2))) < 1e-14

@@ -1,0 +1,65 @@
+"""Gaussian-process correlated noise (reference: libs/myGP.py).
+
+The reference builds a dense covariance matrix with a Python double loop and
+samples with np.random.multivariate_normal (myGP.py:31-57). Here the
+covariance is a single broadcast, sampling is a Cholesky transform of
+``jax.random`` normals, and the kernels are vectorized.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sq_exp(x, xp, s1, rho):
+    return (s1 ** 2) * jnp.exp(-((x - xp) ** 2) / (2.0 * rho ** 2))
+
+
+def matern0(x, xp, s1, rho):
+    return (s1 ** 2) * jnp.exp(-jnp.abs(x - xp) / rho)
+
+
+def matern1(x, xp, s1, rho):
+    r = jnp.abs(x - xp) / rho
+    return (s1 ** 2) * (1.0 + jnp.sqrt(3.0) * r) * jnp.exp(-jnp.sqrt(3.0) * r)
+
+
+def matern2(x, xp, s1, rho):
+    r = jnp.abs(x - xp) / rho
+    return (s1 ** 2) * (1.0 + jnp.sqrt(5.0) * r + 5.0 * r ** 2 / 3.0) \
+        * jnp.exp(-jnp.sqrt(5.0) * r)
+
+
+def periodic(x, xp, s1, rho, period):
+    return (s1 ** 2) * jnp.exp(
+        -2.0 * jnp.sin(jnp.abs(x - xp) * jnp.pi / period) ** 2 / rho ** 2)
+
+
+KERNELS = {"sqExp": sq_exp, "matern0": matern0, "matern1": matern1,
+           "matern2": matern2}
+
+
+def covariance(xx, kernel=sq_exp, s1: float = 0.2, rho: float = 0.2):
+    """Dense covariance matrix K[i, j] = k(x_i, x_j) (vectorized)."""
+    return kernel(xx[:, None], xx[None, :], s1, rho)
+
+
+def create_curve(key, nx: int = 250, x0=(-3.0, 3.0), corr: float = 0.2,
+                 s1: float = 0.2, kernel=sq_exp, jitter: float = 1e-10):
+    """Draw one GP curve (reference Createcurve, myGP.py:18-64).
+
+    Returns (x, y): x = linspace(x0), y ~ N(0, K) sampled on the internal
+    (-1, 1) grid like the reference.
+    """
+    xx = jnp.linspace(-1.0, 1.0, nx)
+    K = covariance(xx, kernel=kernel, s1=s1, rho=corr)
+    L = jnp.linalg.cholesky(K + jitter * jnp.eye(nx))
+    y = L @ jax.random.normal(key, (nx,), dtype=K.dtype)
+    return jnp.linspace(x0[0], x0[1], nx), y
+
+
+def correlated_noise(key, n: int, sigma_amp: float, corr: float):
+    """Noise scaled to std sigma_amp, matching ricker_util.py:76-78."""
+    _, y = create_curve(key, nx=n, corr=corr)
+    return y * sigma_amp / jnp.std(y)

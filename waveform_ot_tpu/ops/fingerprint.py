@@ -1,0 +1,375 @@
+"""Waveform fingerprints: nearest-distance fields over time-amplitude windows.
+
+TPU-native rewrite of the reference's ``waveformFP`` class
+(reference: libs/FingerprintLib.py:48-385). The mutable class becomes pure
+functions over pytrees:
+
+  waveformFP.__init__   -> Window + normalize_vertices + grid_axes
+                           (FingerprintLib.py:53-115)
+  waveformFP.wdist      -> distance_field      (FingerprintLib.py:230-272)
+  waveformFP.wdistderiv -> the custom VJP here (FingerprintLib.py:333-385)
+  waveformFP.calcpdf    -> density_from_distance / fingerprint_density
+                           (FingerprintLib.py:117-180)
+  PDFderiv/PDFderivMarg -> plain jax.grad through this module
+                           (FingerprintLib.py:182-228)
+
+Derivative convention. The reference computes d(distance)/d(vertex
+amplitude) with an analytic formula whose dlambda/dy terms carry a spurious
+addend; that addend is harmless because the optimal-projection residual is
+orthogonal to the segment direction (dddx . c = 0 at the minimizing lambda),
+so the whole dlambda path drops out. The VJP here therefore uses the exact
+envelope form (verified to agree with FingerprintLib.py:333-385 to machine
+precision):
+
+    dd/d(vertex i)   = (1 - lam) * (x* - p) / d      (segment start)
+    dd/d(vertex i+1) = lam       * (x* - p) / d      (segment end)
+    dd/d(grid point) = (p - x*) / d
+
+with the nearest segment index and the clip of lambda to [0, 1] treated as
+locally constant — exactly the reference's clip-zeroing convention
+(FingerprintLib.py:363-369). Unlike the reference (amplitude only), the VJP
+covers both vertex coordinates and the grid axes, so window parameters
+(t0, t1, u0, u1) are differentiable end-to-end as well.
+
+Implementations: 'jnp' is the vectorized reference-semantics oracle
+(materializes the (Ngrid, Nseg) matrix like FingerprintLib.py:254-263);
+'pallas' is the tiled TPU kernel (ops/pallas_distance.py) that never leaves
+VMEM. Both sit behind one API and are tested for exact agreement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from waveform_ot_tpu.ops import errors
+
+
+# ---------------------------------------------------------------------------
+# window geometry
+# ---------------------------------------------------------------------------
+
+
+class Window(NamedTuple):
+    """Dynamic time-amplitude window parameters (a pytree of scalars).
+
+    Mirrors the reference grid 6-tuple (t0, t1, u0, u1, Nu, Nt) minus the
+    static grid dims, which live in :class:`FingerprintSpec`. ``tantheta``
+    is the time/amplitude metric weighting (FingerprintLib.py:77-90).
+    """
+
+    t0: jax.Array
+    t1: jax.Array
+    u0: jax.Array
+    u1: jax.Array
+    tantheta: jax.Array
+
+
+def make_window(t0, t1, u0, u1, theta: float | None = None,
+                tantheta: float | None = None, dtype=None) -> Window:
+    """Build a Window; ``tantheta`` takes precedence over ``theta`` (degrees),
+    matching FingerprintLib.py:77-82. Default is 45 degrees (tantheta=1)."""
+    if tantheta is None:
+        tantheta = 1.0 if theta is None else jnp.tan(jnp.deg2rad(theta))
+    arr = lambda v: jnp.asarray(v, dtype=dtype)
+    return Window(arr(t0), arr(t1), arr(u0), arr(u1), arr(tantheta))
+
+
+def window_from_waveform(t, w, pad: float = 0.3) -> Window:
+    """Auto window: pad amplitude range by ``pad``*range on both sides.
+
+    Matches loc_cmt_util.buildFingerprintwindows (loc_cmt_util.py:430-446)
+    with pad=0.3 and ricker_util.BuildOTobjfromWaveform(norm=True) with
+    pad=0.2 (ricker_util.py:233-240).
+    """
+    du = jnp.max(w) - jnp.min(w)
+    return make_window(jnp.min(t), jnp.max(t),
+                       jnp.min(w) - pad * du, jnp.max(w) + pad * du)
+
+
+@dataclasses.dataclass(frozen=True)
+class FingerprintSpec:
+    """Static fingerprint configuration (hashable; safe as a jit static arg).
+
+    nu, ntg: grid points along the amplitude/time axes of the window
+             (reference Nu, Nt, FingerprintLib.py:84-85).
+    """
+
+    nu: int
+    ntg: int
+
+
+def normalize_vertices(t, w, win: Window) -> jax.Array:
+    """Waveform vertices in non-dimensional window coordinates.
+
+    pn = ((t - t0) / (tantheta*(t1 - t0)), (w - u0) / (u1 - u0)),
+    matching FingerprintLib.py:110. Returns (nt, 2).
+    """
+    delt = win.tantheta * (win.t1 - win.t0)
+    return jnp.stack([(t - win.t0) / delt, (w - win.u0) / (win.u1 - win.u0)],
+                     axis=-1)
+
+
+def grid_axes(t, win: Window, spec: FingerprintSpec, fpbox=None):
+    """Normalized grid axes (tgrid (ntg,), ugrid (nu,)).
+
+    Default box: time axis spans the *waveform's* normalized time range
+    (FingerprintLib.py:91, tlimn uses t[0], t[-1], not t0/t1) and the
+    amplitude axis spans (0, 1) (FingerprintLib.py:92). With ``fpbox`` =
+    (fp_t0, fp_t1, fp_u0, fp_u1) in physical coordinates, the box is
+    re-normalized like FingerprintLib.py:101-106.
+    """
+    delt = win.tantheta * (win.t1 - win.t0)
+    if fpbox is None:
+        tlo = (t[0] - win.t0) / delt
+        thi = (t[-1] - win.t0) / delt
+        ulo = jnp.zeros_like(tlo)
+        uhi = jnp.ones_like(tlo)
+    else:
+        fp_t0, fp_t1, fp_u0, fp_u1 = fpbox
+        tlo = (fp_t0 - win.t0) / delt
+        thi = (fp_t1 - win.t0) / delt
+        ulo = (fp_u0 - win.u0) / (win.u1 - win.u0)
+        uhi = (fp_u1 - win.u0) / (win.u1 - win.u0)
+    tgrid = jnp.linspace(tlo, thi, spec.ntg)
+    ugrid = jnp.linspace(ulo, uhi, spec.nu)
+    return tgrid, ugrid
+
+
+# ---------------------------------------------------------------------------
+# distance field
+# ---------------------------------------------------------------------------
+
+
+class DistanceField(NamedTuple):
+    """Nearest-distance field and its argmin data.
+
+    d:      (nu, ntg) nearest distance from each grid point to the polyline
+    iclose: (nu, ntg) int32 index of the nearest segment (first-min ties)
+    lam:    (nu, ntg) clipped projection parameter on that segment
+    """
+
+    d: jax.Array
+    iclose: jax.Array
+    lam: jax.Array
+
+
+def _distance_field_jnp(verts, tgrid, ugrid) -> DistanceField:
+    """Vectorized brute force, reference semantics (FingerprintLib.py:254-263).
+
+    Materializes (Ngrid, Nseg); use the pallas impl for large grids.
+    """
+    x0 = verts[:-1]                       # (nseg, 2)
+    c = verts[1:] - verts[:-1]            # (nseg, 2)
+    lsq = jnp.sum(c * c, axis=1)          # (nseg,)
+    tt, uu = jnp.meshgrid(tgrid, ugrid)   # (nu, ntg) each
+    p = jnp.stack([tt.ravel(), uu.ravel()], axis=1)  # (N, 2)
+    b = p[:, None, :] - x0[None, :, :]    # (N, nseg, 2)
+    lam = jnp.clip(jnp.sum(b * c[None], axis=2) / lsq[None], 0.0, 1.0)
+    ds = b - c[None] * lam[..., None]
+    dsq = jnp.sum(ds * ds, axis=2)        # (N, nseg)
+    iclose = jnp.argmin(dsq, axis=1)      # first minimum, like np.argmin
+    n = p.shape[0]
+    lbest = lam[jnp.arange(n), iclose]
+    d = jnp.sqrt(dsq[jnp.arange(n), iclose])
+    shape = (ugrid.shape[0], tgrid.shape[0])
+    return DistanceField(d.reshape(shape), iclose.reshape(shape).astype(jnp.int32),
+                         lbest.reshape(shape))
+
+
+def distance_field(verts, tgrid, ugrid, impl: str = "auto") -> DistanceField:
+    """Nearest distance from every grid point to the waveform polyline.
+
+    Args:
+      verts: (nt, 2) polyline vertices in normalized coordinates.
+      tgrid: (ntg,) grid time axis; ugrid: (nu,) grid amplitude axis.
+      impl:  'jnp' | 'pallas' | 'auto' ('auto' = pallas on TPU, jnp otherwise).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "jnp":
+        return _distance_field_jnp(verts, tgrid, ugrid)
+    if impl == "pallas":
+        from waveform_ot_tpu.ops import pallas_distance
+
+        return pallas_distance.distance_field_pallas(verts, tgrid, ugrid)
+    raise errors.FingerprintMethodError(impl)
+
+
+def _recompute_closest(verts, tgrid, ugrid, fld: DistanceField):
+    """Residual quantities for the VJP from the saved argmin data."""
+    tt, uu = jnp.meshgrid(tgrid, ugrid)
+    p = jnp.stack([tt, uu], axis=-1)                      # (nu, ntg, 2)
+    x0 = verts[:-1][fld.iclose]                           # (nu, ntg, 2)
+    c = (verts[1:] - verts[:-1])[fld.iclose]
+    xstar = x0 + fld.lam[..., None] * c
+    return p, xstar
+
+
+def _distance_vjp(verts, tgrid, ugrid, fld: DistanceField, gbar):
+    """Envelope-form backward pass (see module docstring)."""
+    p, xstar = _recompute_closest(verts, tgrid, ugrid, fld)
+    safe_d = jnp.where(fld.d > 0, fld.d, 1.0)
+    # direction of increase of d w.r.t. the closest point x*
+    gdir = (xstar - p) / safe_d[..., None]                # (nu, ntg, 2)
+    gdir = jnp.where((fld.d > 0)[..., None], gdir, 0.0)
+    gv = gbar[..., None] * gdir
+    w0 = (1.0 - fld.lam)[..., None] * gv                  # start-vertex share
+    w1 = fld.lam[..., None] * gv                          # end-vertex share
+    nt = verts.shape[0]
+    seg = fld.iclose.ravel()
+    gverts = jnp.zeros((nt, 2), verts.dtype)
+    gverts = gverts.at[seg].add(w0.reshape(-1, 2))
+    gverts = gverts.at[seg + 1].add(w1.reshape(-1, 2))
+    gp = -gv                                              # dd/dp = (p - x*)/d
+    gtgrid = jnp.sum(gp[..., 0], axis=0)
+    gugrid = jnp.sum(gp[..., 1], axis=1)
+    return gverts, gtgrid, gugrid
+
+
+@jax.custom_vjp
+def distance_field_diff(verts, tgrid, ugrid):
+    """Differentiable distance field (d only), default implementation.
+
+    Forward runs :func:`distance_field` (auto impl); backward is the O(Ngrid)
+    analytic rule — never the O(Ngrid*Nseg) autodiff graph.
+    """
+    return distance_field(verts, tgrid, ugrid).d
+
+
+def _dfd_fwd(verts, tgrid, ugrid):
+    fld = distance_field(verts, tgrid, ugrid)
+    return fld.d, (verts, tgrid, ugrid, fld)
+
+
+def _dfd_bwd(res, gbar):
+    verts, tgrid, ugrid, fld = res
+    return _distance_vjp(verts, tgrid, ugrid, fld, gbar)
+
+
+distance_field_diff.defvjp(_dfd_fwd, _dfd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# density
+# ---------------------------------------------------------------------------
+
+
+def density_from_distance(d, lambdav, q: int | None = None) -> jax.Array:
+    """Fingerprint density from the distance field (FingerprintLib.py:171-177).
+
+    q=None: pdf = exp(-|d|/lambda)    (the loc/CMT configuration)
+    q=2:    pdf = exp(-d**2/lambda)   (the Ricker configuration default)
+    """
+    if q is None or q == 1:
+        return jnp.exp(-jnp.abs(d) / lambdav)
+    if q == 2:
+        return jnp.exp(-(d * d) / lambdav)
+    raise errors.FingerprintMethodError(f"q={q}")
+
+
+def fingerprint_density(t, w, win: Window, spec: FingerprintSpec,
+                        lambdav: float = 0.04, q: int | None = None,
+                        impl: str = "auto", fpbox=None):
+    """Waveform -> 2-D fingerprint density, fully differentiable.
+
+    Composition of normalize_vertices -> distance_field -> exp density,
+    mirroring waveformFP.__init__ + calcpdf (FingerprintLib.py:53-180).
+
+    Returns (pdf2d (nu, ntg), (tgrid, ugrid)); the axes are the marginal
+    supports in normalized coordinates (= the reference's ``wf.pos`` planes).
+    Gradients flow to ``w``, ``t`` and every Window field via the custom VJP.
+    """
+    verts = normalize_vertices(t, w, win)
+    tgrid, ugrid = grid_axes(t, win, spec, fpbox=fpbox)
+    d = distance_field_diff(verts, tgrid, ugrid)
+    if impl != "auto":  # explicit impl request bypasses the default VJP fwd
+        fld = distance_field(verts, tgrid, ugrid, impl=impl)
+        d = _with_envelope_grad(verts, tgrid, ugrid, fld)
+    return density_from_distance(d, lambdav, q=q), (tgrid, ugrid)
+
+
+@jax.custom_vjp
+def _reattach(verts, tgrid, ugrid, fld):
+    return fld.d
+
+
+def _reattach_fwd(verts, tgrid, ugrid, fld):
+    return fld.d, (verts, tgrid, ugrid, fld)
+
+
+def _reattach_bwd(res, gbar):
+    verts, tgrid, ugrid, fld = res
+    gverts, gtg, gug = _distance_vjp(verts, tgrid, ugrid, fld, gbar)
+    return gverts, gtg, gug, None
+
+
+_reattach.defvjp(_reattach_fwd, _reattach_bwd)
+
+
+def _with_envelope_grad(verts, tgrid, ugrid, fld: DistanceField):
+    """Attach the envelope VJP to an externally computed DistanceField."""
+    fld = jax.tree_util.tree_map(jax.lax.stop_gradient, fld)
+    return _reattach(verts, tgrid, ugrid, fld)
+
+
+# ---------------------------------------------------------------------------
+# point queries & NN variant (reference parity utilities)
+# ---------------------------------------------------------------------------
+
+
+def point_distance(verts, points) -> jax.Array:
+    """Nearest distance from arbitrary points (k, 2) to the polyline.
+
+    Functional equivalent of wavedist/wavedistv (FingerprintLib.py:445-474).
+    """
+    x0 = verts[:-1]
+    c = verts[1:] - verts[:-1]
+    lsq = jnp.sum(c * c, axis=1)
+    b = points[:, None, :] - x0[None]
+    lam = jnp.clip(jnp.sum(b * c[None], axis=2) / lsq[None], 0.0, 1.0)
+    ds = b - c[None] * lam[..., None]
+    return jnp.sqrt(jnp.min(jnp.sum(ds * ds, axis=2), axis=1))
+
+
+def distance_field_nn(verts, tgrid, ugrid) -> DistanceField:
+    """Vertex-NN accelerated distance field (reference wdistNN semantics,
+    FingerprintLib.py:274-331): find the nearest polyline *vertex* per grid
+    point, then resolve exactly against only its two adjacent segments.
+
+    On TPU this is an O(Ngrid*Nt) argmin over vertices instead of
+    O(Ngrid*Nseg) over segments — same asymptotics, kept for parity and as
+    an independent oracle (it can disagree with the exact field only when
+    the true nearest segment is not adjacent to the nearest vertex, exactly
+    as in the reference).
+    """
+    nt = verts.shape[0]
+    x0 = verts[:-1]
+    c = verts[1:] - verts[:-1]
+    lsq = jnp.sum(c * c, axis=1)
+    tt, uu = jnp.meshgrid(tgrid, ugrid)
+    p = jnp.stack([tt.ravel(), uu.ravel()], axis=1)
+    dv = p[:, None, :] - verts[None]
+    ivert = jnp.argmin(jnp.sum(dv * dv, axis=2), axis=1)
+    segp = jnp.clip(ivert, 0, nt - 2)
+    segm = jnp.clip(ivert - 1, 0, nt - 2)
+
+    def seg_dist(seg):
+        b = p - x0[seg]
+        lam = jnp.clip(jnp.sum(b * c[seg], axis=1) / lsq[seg], 0.0, 1.0)
+        ds = b - c[seg] * lam[:, None]
+        return jnp.sum(ds * ds, axis=1), lam
+
+    dp, lamp = seg_dist(segp)
+    dm, lamm = seg_dist(segm)
+    take_p = dp < dm
+    dsq = jnp.where(take_p, dp, dm)
+    iclose = jnp.where(take_p, segp, segm)
+    lam = jnp.where(take_p, lamp, lamm)
+    shape = (ugrid.shape[0], tgrid.shape[0])
+    return DistanceField(jnp.sqrt(dsq).reshape(shape),
+                         iclose.reshape(shape).astype(jnp.int32),
+                         lam.reshape(shape))

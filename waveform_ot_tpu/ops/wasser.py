@@ -1,0 +1,324 @@
+"""Exact 1-D Wasserstein distances with analytic gradients.
+
+TPU-native rewrite of the reference's core solver ``wasser``
+(reference: libs/OTlib.py:596-741). The algorithm is the merged-CDF
+quantile integration:
+
+    cf, cg        : renormalized CDFs of source/target
+    a             : concat(cf[:-1], cg)            (m = n_f + n_g - 1, static)
+    tk            : sort(a);  tkarg = argsort(a)   (stable, first-tie order)
+    indf, indg    : searchsorted(cf|cg, tk, side='left')   (bisect_left)
+    dtk           : first differences of tk (dtk[0] = tk[0])
+    W_p^p         : sum(|x_f[indf] - x_g[indg]|^p * dtk)
+
+Derivatives w.r.t. the *unnormalized* source amplitudes are the reference's
+``Diffdtk`` construction (OTlib.py:681-706), but evaluated in closed O(m)
+form instead of materializing the dense (n, m) matrix:
+
+    with e_l = dist_l - dist_{l+1}  (dist_m := 0), scattered back to the
+    unsorted merged slots s = scatter(e, tkarg), and s_f = s[:n_f-1]:
+
+        dW/df_i = ( sum_{k>=i} s_f[k]  -  cf[:-1] . s_f ) / amp_f
+
+    (verified to machine precision against the reference's dense form).
+
+Derivatives w.r.t. support positions are per-point subgradients
+(the reference only exposes their sum, the rigid-translation derivative
+dW/dt, OTlib.py:693-706; sum ours over points to recover it).
+
+The whole computation is wrapped in a ``jax.custom_vjp`` so that
+``jax.grad`` of any downstream pipeline reproduces the reference chain rule
+exactly while staying O(m) in time and memory. A plain-autodiff variant
+(:func:`wasserstein_1d_autodiff`) is kept as a differential-testing oracle.
+
+Like the reference, returned values are W_p^p (the p-th power).
+Derivatives are valid only when source and target CDFs share no common
+values (OTlib.py:663-666); see :func:`common_cdf_mask`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from waveform_ot_tpu.ops import errors
+from waveform_ot_tpu.ops.otpdf import Density1D
+
+
+# ---------------------------------------------------------------------------
+# shared forward machinery
+# ---------------------------------------------------------------------------
+
+
+def _cdf(f: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """amp and renormalized CDF of unnormalized amplitudes (OTlib.py:92,112)."""
+    amp = jnp.sum(f, axis=-1)
+    cdf = jnp.cumsum(f, axis=-1) / amp[..., None]
+    cdf = cdf / cdf[..., -1:]
+    return amp, cdf
+
+
+def _merge(cf: jax.Array, cg: jax.Array):
+    """Merged-support quantities (OTlib.py:668-673). Shapes are static."""
+    a = jnp.concatenate([cf[:-1], cg])
+    tkarg = jnp.argsort(a, stable=True)
+    tk = a[tkarg]
+    indf = jnp.searchsorted(cf, tk, side="left")
+    indg = jnp.searchsorted(cg, tk, side="left")
+    dtk = jnp.diff(tk, prepend=jnp.zeros((1,), tk.dtype))
+    return tk, tkarg, indf, indg, dtk
+
+
+def _dist(dx: jax.Array, p: int) -> jax.Array:
+    if p == 1:
+        return jnp.abs(dx)
+    if p == 2:
+        return dx * dx
+    raise errors.UnknownOTDistanceTypeError(p)
+
+
+def _dist_ddx(dx: jax.Array, p: int) -> jax.Array:
+    """d(dist)/d(dx): the reference's translation-derivative integrand
+    (sign for W1, 2*dx for W2; OTlib.py:693,703)."""
+    if p == 1:
+        return jnp.sign(dx)
+    return 2.0 * dx
+
+
+def _amp_grad(e_scat: jax.Array, cdf: jax.Array, amp: jax.Array, last: bool):
+    """Closed-form gradient w.r.t. unnormalized amplitudes.
+
+    ``e_scat`` are the merged-slot sensitivities for this density's CDF
+    entries (cf[:-1] if ``last`` is False — the source convention — or the
+    full cg if True). Returns dW/df of length n.
+    """
+    if last:
+        s = e_scat  # (n,) slots for cg[0..n-1]
+        rev = jnp.cumsum(s[::-1])[::-1]
+        c0 = jnp.dot(cdf, s)
+        return (rev - c0) / amp
+    s = e_scat  # (n-1,) slots for cf[:-1]
+    rev = jnp.cumsum(s[::-1])[::-1]
+    rev = jnp.concatenate([rev, jnp.zeros((1,), s.dtype)])  # T_{n-1} = 0
+    c0 = jnp.dot(cdf[:-1], s)
+    return (rev - c0) / amp
+
+
+# ---------------------------------------------------------------------------
+# primal + custom VJP
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def wasserstein_1d(f, xf, g, xg, p: int = 2):
+    """W_p^p between two 1-D discrete densities of arbitrary support.
+
+    Args:
+      f:  (n_f,) unnormalized non-negative source amplitudes.
+      xf: (n_f,) source support locations (must be sorted ascending).
+      g:  (n_g,) unnormalized non-negative target amplitudes.
+      xg: (n_g,) target support locations (sorted ascending).
+      p:  1 or 2 (static).
+
+    Returns:
+      scalar W_p^p (reference ``wasser`` value, OTlib.py:690,700).
+
+    Differentiable w.r.t. all four array arguments; gradients match the
+    reference's analytic formulas (w.r.t. unnormalized amplitudes and
+    support positions) at non-tied configurations.
+    """
+    w, _ = _wasser_fwd_impl(f, xf, g, xg, p)
+    return w
+
+
+def _wasser_fwd_impl(f, xf, g, xg, p):
+    ampf, cf = _cdf(f)
+    ampg, cg = _cdf(g)
+    tk, tkarg, indf, indg, dtk = _merge(cf, cg)
+    dx = xf[indf] - xg[indg]
+    dist = _dist(dx, p)
+    w = jnp.dot(dist, dtk)
+    res = (ampf, cf, ampg, cg, tkarg, indf, indg, dtk, dx)
+    return w, res
+
+
+def _wasser_fwd(f, xf, g, xg, p):
+    return _wasser_fwd_impl(f, xf, g, xg, p)
+
+
+def _wasser_bwd(p, res, wbar):
+    ampf, cf, ampg, cg, tkarg, indf, indg, dtk, dx = res
+    nf = cf.shape[0]
+    ng = cg.shape[0]
+    m = dtk.shape[0]
+    dist = _dist(dx, p)
+
+    # positions: scatter-add the translation integrand per support point
+    # (segment-sum replaces the reference's implicit sum; OTlib.py:693-706).
+    ddx = _dist_ddx(dx, p) * dtk * wbar
+    gxf = jnp.zeros(nf, dx.dtype).at[indf].add(ddx)
+    gxg = jnp.zeros(ng, dx.dtype).at[indg].add(-ddx)
+
+    # amplitudes: closed-form Diffdtk adjoint (see module docstring).
+    e = dist - jnp.concatenate([dist[1:], jnp.zeros((1,), dist.dtype)])
+    s = jnp.zeros(m, dist.dtype).at[tkarg].set(e * wbar)
+    gf = _amp_grad(s[: nf - 1], cf, ampf, last=False)
+    gg = _amp_grad(s[nf - 1 :], cg, ampg, last=True)
+    return gf, gxf, gg, gxg
+
+
+wasserstein_1d.defvjp(_wasser_fwd, _wasser_bwd)
+
+
+def wasserstein_1d_autodiff(f, xf, g, xg, p: int = 2):
+    """Plain-autodiff forward (no custom VJP); differential-testing oracle.
+
+    Autodiff through sort/cumsum/gather reproduces the same analytic
+    derivatives as the custom VJP (away from ties); this variant exists to
+    cross-check the closed-form backward pass.
+    """
+    _, cf = _cdf(f)
+    _, cg = _cdf(g)
+    a = jnp.concatenate([cf[:-1], cg])
+    tk = jnp.sort(a, stable=True)
+    indf = jax.lax.stop_gradient(jnp.searchsorted(cf, tk, side="left"))
+    indg = jax.lax.stop_gradient(jnp.searchsorted(cg, tk, side="left"))
+    dtk = jnp.diff(tk, prepend=jnp.zeros((1,), tk.dtype))
+    dx = xf[indf] - xg[indg]
+    return jnp.dot(_dist(dx, p), dtk)
+
+
+# ---------------------------------------------------------------------------
+# reference-style wrappers
+# ---------------------------------------------------------------------------
+
+
+def wasser(source: Density1D, target: Density1D, distfunc: str = "W12",
+           derivatives: bool = False):
+    """API-parity wrapper mirroring the reference ``wasser`` signature.
+
+    Returns, like OTlib.py:596-741 (for distfunc in {'W1','W2','W12'}):
+      [W1(, dW1/df, dW1/dt)][, W2(, dW2/df, dW2/dt)]
+    where dW/df is w.r.t. unnormalized source amplitudes and dW/dt is the
+    rigid-translation derivative of the source support.
+    """
+    ps: list[int] = []
+    if distfunc in ("W1", "W12"):
+        ps.append(1)
+    if distfunc in ("W2", "W12"):
+        ps.append(2)
+    if not ps:
+        raise errors.UnknownOTDistanceTypeError(distfunc)
+    out = []
+    for p in ps:
+        if derivatives:
+            w, grads = jax.value_and_grad(wasserstein_1d, argnums=(0, 1))(
+                source.pdf * source.amp, source.x, target.pdf * target.amp,
+                target.x, p)
+            out += [w, grads[0], jnp.sum(grads[1])]
+        else:
+            out.append(wasserstein_1d(source.pdf * source.amp, source.x,
+                                      target.pdf * target.amp, target.x, p))
+    return out
+
+
+def wasserstein_1d_cost(f, g, cost, indexer=None):
+    """W with a user-supplied cost array (reference dfunc path, OTlib.py:708-716).
+
+    ``cost`` is an (n_f, n_g) array of precomputed pairwise costs;
+    gradients flow w.r.t. amplitudes only (as in the reference, which
+    returns a zero position derivative for this path).
+
+    ``indexer`` optionally remaps (indf, indg) into cost (used by the sliced
+    Wasserstein to index an un-projected 2-D cost matrix through per-slice
+    sort permutations, reference OTlib.py:574-594).
+    """
+
+    def value(f, g):
+        _, cf = _cdf(f)
+        _, cg = _cdf(g)
+        a = jnp.concatenate([cf[:-1], cg])
+        tk = jnp.sort(a, stable=True)
+        indf = jax.lax.stop_gradient(jnp.searchsorted(cf, tk, side="left"))
+        indg = jax.lax.stop_gradient(jnp.searchsorted(cg, tk, side="left"))
+        dtk = jnp.diff(tk, prepend=jnp.zeros((1,), tk.dtype))
+        if indexer is None:
+            dist = cost[indf, indg]
+        else:
+            dist = cost[indexer[0][indf], indexer[1][indg]]
+        return jnp.dot(dist, dtk)
+
+    return value(f, g)
+
+
+# ---------------------------------------------------------------------------
+# transport plan
+# ---------------------------------------------------------------------------
+
+
+def transport_plan_1d(f, xf, g, xg):
+    """Optimal 1-D transport plan H (n_f, n_g).
+
+    Replaces the reference's (n, n, m) one-hot materialization — flagged
+    "the bottle neck and very time consuming" at OTlib.py:725-727 — with a
+    single scatter-add.
+    """
+    _, cf = _cdf(f)
+    _, cg = _cdf(g)
+    _, _, indf, indg, dtk = _merge(cf, cg)
+    nf, ng = f.shape[0], g.shape[0]
+    return jnp.zeros((nf, ng), dtk.dtype).at[indf, indg].add(dtk)
+
+
+def transport_plan_jacobian(f, xf, g, xg):
+    """dH/df: Jacobian of the plan w.r.t. unnormalized source amplitudes.
+
+    Returns (n_f, n_f, n_g) like the reference's dH (OTlib.py:730-740),
+    assembled via a dense (n_f, m) Difftk and one segment scatter instead of
+    an (n, n, n, m) temporary.
+    """
+    ampf, cf = _cdf(f)
+    _, cg = _cdf(g)
+    _, tkarg, indf, indg, dtk = _merge(cf, cg)
+    nf, ng = f.shape[0], g.shape[0]
+    m = dtk.shape[0]
+    # D[i, k] = (1{k >= i} - cf[k]) / amp for merged slot k < nf-1, else 0
+    k = jnp.arange(nf - 1)
+    i = jnp.arange(nf)[:, None]
+    D_f = (jnp.where(k[None, :] >= i, 1.0, 0.0) - cf[None, :-1]) / ampf
+    D = jnp.concatenate([D_f, jnp.zeros((nf, ng), cf.dtype)], axis=1)
+    difftk = D[:, tkarg]  # (nf, m)
+    diffdtk = jnp.concatenate(
+        [difftk[:, :1], difftk[:, 1:] - difftk[:, :-1]], axis=1)
+    seg = indf * ng + indg
+    flat = jax.ops.segment_sum(diffdtk.T, seg, num_segments=nf * ng)  # (nf*ng, nf)
+    return jnp.moveaxis(flat.reshape(nf, ng, nf), -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# tie diagnostics
+# ---------------------------------------------------------------------------
+
+
+def common_cdf_mask(f, g) -> jax.Array:
+    """Jittable check of the reference's derivative-validity condition.
+
+    True where an entry of the source CDF (excluding the final 1.0) exactly
+    equals an entry of the target CDF (OTlib.py:663-666). Any True entry
+    means amplitude derivatives are ill-defined at that tie.
+    """
+    _, cf = _cdf(f)
+    _, cg = _cdf(g)
+    return (cf[:-1, None] == cg[None, :-1]).any(axis=1)
+
+
+def check_common_cdf(f, g) -> None:
+    """Eager-mode validation; raises TargetSourceCDFError on ties."""
+    import numpy as np
+
+    mask = np.asarray(common_cdf_mask(f, g))
+    if mask.any():
+        _, cf = _cdf(jnp.asarray(f))
+        raise errors.TargetSourceCDFError(np.asarray(cf)[:-1][mask])
