@@ -231,3 +231,55 @@ class TestBatching:
         for i in range(nb):
             np.testing.assert_allclose(gb[i], jax.grad(loss)(ws[i]),
                                        atol=1e-13)
+
+
+class TestPallasKernel:
+    """The Pallas kernel (interpret mode on CPU) must match the jnp impl
+    bit-for-bit — identical arithmetic by construction."""
+
+    def test_matches_jnp_impl(self, rng):
+        _, _, _, _, verts, tg, ug = small_problem(rng, nt=40, nu=24, ntg=40)
+        from waveform_ot_tpu.ops.pallas_distance import distance_field_pallas
+
+        a = distance_field(verts, tg, ug, impl="jnp")
+        b = distance_field_pallas(verts, tg, ug)
+        # identical arithmetic up to reduction order (1 ulp); on TPU the
+        # compiled kernel is bit-exact vs the jnp impl
+        np.testing.assert_allclose(np.asarray(a.d), np.asarray(b.d),
+                                   rtol=1e-12, atol=1e-15)
+        same = np.asarray(a.iclose) == np.asarray(b.iclose)
+        assert np.abs(np.where(same, a.lam - b.lam, 0.0)).max() < 1e-12
+        # disagreements must be exact geometric ties (same distance)
+        assert np.abs(np.where(same, 0.0, a.d - b.d)).max() < 1e-12
+
+    def test_odd_sizes_and_chunking(self, rng):
+        # grid not a multiple of the tile, several segment chunks
+        from waveform_ot_tpu.ops.pallas_distance import distance_field_pallas
+
+        t = np.linspace(0.0, 1.0, 301)
+        w = np.sin(13 * t) + 0.02 * rng.standard_normal(301)
+        win = make_window(0.0, 1.0, -1.5, 1.5)
+        spec = FingerprintSpec(nu=37, ntg=301)
+        verts = normalize_vertices(jnp.array(t), jnp.array(w), win)
+        tg, ug = grid_axes(jnp.array(t), win, spec)
+        a = distance_field(verts, tg, ug, impl="jnp")
+        b = distance_field_pallas(verts, tg, ug, tpts=256, sc=128)
+        np.testing.assert_allclose(np.asarray(a.d), np.asarray(b.d),
+                                   rtol=1e-12, atol=1e-15)
+        same = np.asarray(a.iclose) == np.asarray(b.iclose)
+        assert np.abs(np.where(same, 0.0, a.d - b.d)).max() < 1e-12
+
+    def test_pallas_through_vjp(self, rng):
+        # fingerprint_density(impl='pallas') carries the envelope VJP
+        t, w, win, spec, _, _, _ = small_problem(rng, nt=15, nu=10, ntg=18)
+        tj, wj = jnp.array(t), jnp.array(w)
+
+        def loss(w_, impl):
+            pdf, _ = fingerprint_density(tj, w_, win, spec, lambdav=0.04,
+                                         impl=impl)
+            return jnp.sum(pdf * pdf)
+
+        g_jnp = jax.grad(lambda w_: loss(w_, "jnp"))(wj)
+        g_pal = jax.grad(lambda w_: loss(w_, "pallas"))(wj)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_jnp),
+                                   atol=1e-13)

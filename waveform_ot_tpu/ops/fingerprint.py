@@ -230,22 +230,26 @@ def _distance_vjp(verts, tgrid, ugrid, fld: DistanceField, gbar):
     return gverts, gtgrid, gugrid
 
 
-@jax.custom_vjp
-def distance_field_diff(verts, tgrid, ugrid):
-    """Differentiable distance field (d only), default implementation.
+from functools import partial as _partial
 
-    Forward runs :func:`distance_field` (auto impl); backward is the O(Ngrid)
-    analytic rule — never the O(Ngrid*Nseg) autodiff graph.
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def distance_field_diff(verts, tgrid, ugrid, impl: str = "auto"):
+    """Differentiable distance field (d only).
+
+    Forward runs :func:`distance_field` with the chosen implementation;
+    backward is the O(Ngrid) analytic envelope rule — never the
+    O(Ngrid*Nseg) autodiff graph.
     """
-    return distance_field(verts, tgrid, ugrid).d
+    return distance_field(verts, tgrid, ugrid, impl=impl).d
 
 
-def _dfd_fwd(verts, tgrid, ugrid):
-    fld = distance_field(verts, tgrid, ugrid)
+def _dfd_fwd(verts, tgrid, ugrid, impl):
+    fld = distance_field(verts, tgrid, ugrid, impl=impl)
     return fld.d, (verts, tgrid, ugrid, fld)
 
 
-def _dfd_bwd(res, gbar):
+def _dfd_bwd(impl, res, gbar):
     verts, tgrid, ugrid, fld = res
     return _distance_vjp(verts, tgrid, ugrid, fld, gbar)
 
@@ -285,35 +289,8 @@ def fingerprint_density(t, w, win: Window, spec: FingerprintSpec,
     """
     verts = normalize_vertices(t, w, win)
     tgrid, ugrid = grid_axes(t, win, spec, fpbox=fpbox)
-    d = distance_field_diff(verts, tgrid, ugrid)
-    if impl != "auto":  # explicit impl request bypasses the default VJP fwd
-        fld = distance_field(verts, tgrid, ugrid, impl=impl)
-        d = _with_envelope_grad(verts, tgrid, ugrid, fld)
+    d = distance_field_diff(verts, tgrid, ugrid, impl)
     return density_from_distance(d, lambdav, q=q), (tgrid, ugrid)
-
-
-@jax.custom_vjp
-def _reattach(verts, tgrid, ugrid, fld):
-    return fld.d
-
-
-def _reattach_fwd(verts, tgrid, ugrid, fld):
-    return fld.d, (verts, tgrid, ugrid, fld)
-
-
-def _reattach_bwd(res, gbar):
-    verts, tgrid, ugrid, fld = res
-    gverts, gtg, gug = _distance_vjp(verts, tgrid, ugrid, fld, gbar)
-    return gverts, gtg, gug, None
-
-
-_reattach.defvjp(_reattach_fwd, _reattach_bwd)
-
-
-def _with_envelope_grad(verts, tgrid, ugrid, fld: DistanceField):
-    """Attach the envelope VJP to an externally computed DistanceField."""
-    fld = jax.tree_util.tree_map(jax.lax.stop_gradient, fld)
-    return _reattach(verts, tgrid, ugrid, fld)
 
 
 # ---------------------------------------------------------------------------
