@@ -1,0 +1,182 @@
+"""Tests for the source-location / CMT inversion stack.
+
+The synthetic on-device forward replaces pyprop8 (unavailable here); the
+structural contracts tested mirror the reference pipeline: linearity in the
+moment tensor (Moment_LS exact recovery, loc_cmt_util.py:309-334), batched
+OT misfit + gradients over (receiver, component) traces, L2 objective, the
+vmapped misfit-grid scan, and full inversions recovering the true source.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveform_ot_tpu.inversion import (
+    InvOptions, TraceConfig, build_loc_cmt_problem, loc_cmt_misfit,
+    loc_cmt_value_and_grad, minimize_lbfgs, minimize_multi_start,
+    minimize_scipy, misfit_grid,
+)
+from waveform_ot_tpu.models import (
+    StationSet, moment_tensor_from_sdr, moment_tensor_ls, mxyz_from_upper,
+    synthetic_seismograms, upper_from_mxyz,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    nr, nt = 8, 61
+    ang = np.linspace(0, 2 * np.pi, nr, endpoint=False)
+    stations = StationSet(x=jnp.array(60.0 * np.cos(ang) + 5.0),
+                          y=jnp.array(60.0 * np.sin(ang) - 3.0))
+    m_true_loc = jnp.array([2.0, -1.5, 12.0])
+    # m0 sized so trace amplitudes are O(1) — keeps L2/OT misfits and
+    # gradients in scipy's default-tolerance regime
+    mxyz_true = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6)
+    t, s_true = synthetic_seismograms(m_true_loc[0], m_true_loc[1],
+                                      m_true_loc[2], mxyz_true, stations,
+                                      nt=nt, dt=1.0)
+    rng = np.random.default_rng(5)
+    noise = 0.002 * float(jnp.max(jnp.abs(s_true))) * rng.standard_normal(
+        s_true.shape)
+    seis_obs = s_true + jnp.array(noise)
+    cfg = TraceConfig(nu=79, ntg=nt, lambdav=0.04, q=None, p=2)
+    prob = build_loc_cmt_problem(t, seis_obs, stations, cfg, impl="jnp")
+    return stations, m_true_loc, mxyz_true, seis_obs, cfg, prob
+
+
+class TestForwardModel:
+    def test_shapes_and_linearity(self, setup):
+        stations, loc, mxyz, *_ = setup
+        t, s = synthetic_seismograms(loc[0], loc[1], loc[2], mxyz, stations,
+                                     nt=61, dt=1.0)
+        assert s.shape == (8, 3, 61)
+        # linear in M: f(aM1 + bM2) == a f(M1) + b f(M2)
+        m2 = moment_tensor_from_sdr(80.0, 30.0, -20.0, m0=10.0)
+        _, s1 = synthetic_seismograms(loc[0], loc[1], loc[2], mxyz, stations)
+        _, s2 = synthetic_seismograms(loc[0], loc[1], loc[2], m2, stations)
+        _, s12 = synthetic_seismograms(loc[0], loc[1], loc[2],
+                                       2.0 * mxyz - 0.5 * m2, stations)
+        np.testing.assert_allclose(np.asarray(s12),
+                                   np.asarray(2.0 * s1 - 0.5 * s2),
+                                   atol=1e-12)
+
+    def test_moment_tensor_upper_roundtrip(self):
+        vals = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+        m = mxyz_from_upper(vals)
+        assert np.allclose(m, m.T)
+        np.testing.assert_allclose(upper_from_mxyz(m), vals)
+
+    def test_moment_ls_exact_recovery(self, setup):
+        # seismograms are linear in M -> LS recovers the exact tensor from
+        # noiseless data (the reference's Moment_LS check)
+        stations, loc, mxyz, *_ = setup
+        _, s = synthetic_seismograms(loc[0], loc[1], loc[2], mxyz, stations,
+                                     nt=61, dt=1.0)
+        m6 = moment_tensor_ls(loc, stations, s, nt=61, dt=1.0)
+        np.testing.assert_allclose(np.asarray(m6),
+                                   np.asarray(upper_from_mxyz(mxyz)),
+                                   rtol=1e-8)
+
+
+class TestObjective:
+    def test_misfit_zero_at_truth_structure(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        opts = InvOptions(loc=True, cmt=False, mistype="OT")
+        prob2 = prob._replace(mxyz_fixed=mxyz)
+        mis_true = float(loc_cmt_misfit(loc, prob2, opts, cfg, impl="jnp"))
+        mis_off = float(loc_cmt_misfit(loc + jnp.array([15.0, -12.0, 6.0]),
+                                       prob2, opts, cfg, impl="jnp"))
+        assert mis_true < mis_off
+
+    def test_gradient_fd(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        opts = InvOptions(loc=True, cmt=False, mistype="OT")
+        prob2 = prob._replace(mxyz_fixed=mxyz)
+        m = loc + jnp.array([4.0, -3.0, 2.0])
+        fn = jax.jit(lambda mm: loc_cmt_misfit(mm, prob2, opts, cfg,
+                                               impl="jnp"))
+        v, g = loc_cmt_value_and_grad(m, prob2, opts, cfg, impl="jnp")
+        eps = 1e-5
+        for i in range(3):
+            fd = (fn(m.at[i].add(eps)) - fn(m.at[i].add(-eps))) / (2 * eps)
+            assert abs(float(g[i]) - float(fd)) < 1e-6 * max(
+                1.0, abs(float(fd)))
+
+    def test_l2_matches_manual(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        opts = InvOptions(loc=True, cmt=False, mistype="L2")
+        prob2 = prob._replace(mxyz_fixed=mxyz)
+        m = loc + jnp.array([1.0, 1.0, 1.0])
+        from waveform_ot_tpu.inversion import predicted_seismograms
+
+        s = predicted_seismograms(m, prob2, opts)
+        manual = float(jnp.sum((s - prob2.seis_obs) ** 2))
+        assert abs(float(loc_cmt_misfit(m, prob2, opts, cfg)) - manual) < 1e-12
+
+    def test_wopt_modes(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        prob2 = prob._replace(mxyz_fixed=mxyz)
+        m = loc + 1.0
+        vals = {}
+        for wopt in ("Wavg", "Wt", "Wu"):
+            opts = InvOptions(loc=True, cmt=False, wopt=wopt)
+            vals[wopt] = float(loc_cmt_misfit(m, prob2, opts, cfg,
+                                              impl="jnp"))
+        assert abs(vals["Wavg"] - 0.5 * (vals["Wt"] + vals["Wu"])) < 1e-10
+
+    def test_misfit_grid_scan(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        opts = InvOptions(loc=True, cmt=False)
+        prob2 = prob._replace(mxyz_fixed=mxyz)
+        ms = jnp.stack([loc, loc + 2.0, loc - 2.0,
+                        loc + jnp.array([10.0, 0.0, 0.0])])
+        grid_vals = misfit_grid(ms, prob2, opts, cfg, impl="jnp")
+        solo = [float(loc_cmt_misfit(m, prob2, opts, cfg, impl="jnp"))
+                for m in ms]
+        np.testing.assert_allclose(np.asarray(grid_vals), solo, rtol=1e-12)
+        assert float(grid_vals[0]) == min(solo)
+
+
+class TestInversion:
+    def test_location_inversion_recovers_truth(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        opts = InvOptions(loc=True, cmt=False, mistype="OT")
+        prob2 = prob._replace(mxyz_fixed=mxyz)
+        m0 = loc + jnp.array([8.0, -6.0, 4.0])
+        res = minimize_scipy(
+            lambda m: loc_cmt_value_and_grad(m, prob2, opts, cfg,
+                                             impl="jnp"), m0)
+        assert res.success
+        assert np.linalg.norm(res.x - np.asarray(loc)) < 1.0
+
+    def test_on_device_lbfgs_matches_scipy(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        opts = InvOptions(loc=True, cmt=False, mistype="L2")
+        prob2 = prob._replace(mxyz_fixed=mxyz)
+        m0 = loc + jnp.array([5.0, 4.0, -3.0])
+        fn = lambda m: loc_cmt_misfit(m, prob2, opts, cfg)
+        dev = jax.jit(lambda x0: minimize_lbfgs(fn, x0, max_iter=100))(m0)
+        sp = minimize_scipy(lambda m: jax.value_and_grad(fn)(m), m0)
+        assert np.linalg.norm(np.asarray(dev.x) - sp.x) < 0.5
+        assert np.linalg.norm(np.asarray(dev.x) - np.asarray(loc)) < 0.5
+
+    def test_multi_start_vmapped(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        opts = InvOptions(loc=True, cmt=False, mistype="L2")
+        prob2 = prob._replace(mxyz_fixed=mxyz)
+        starts = loc[None, :] + jnp.array([[5.0, 4.0, -3.0],
+                                           [-6.0, 2.0, 5.0],
+                                           [3.0, -8.0, 2.0]])
+        fn = lambda m: loc_cmt_misfit(m, prob2, opts, cfg)
+        res = jax.jit(lambda xs: minimize_multi_start(fn, xs,
+                                                      max_iter=100))(starts)
+        assert res.x.shape == (3, 3)
+        from waveform_ot_tpu.inversion import check_convergence
+
+        conv, dist, cons, frac = check_convergence(
+            np.asarray(starts), np.asarray(res.x), np.asarray(loc),
+            dlimit=1.0, exclude_edge=None)
+        assert frac == 1.0

@@ -1,0 +1,97 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveform_ot_tpu.inversion import (
+    InvOptions, TraceConfig, build_loc_cmt_problem, loc_cmt_misfit,
+    loc_cmt_value_and_grad,
+)
+from waveform_ot_tpu.inversion.pipeline import trace_misfit
+from waveform_ot_tpu.inversion.windows import (
+    build_windows, unit_amplitude_windows,
+)
+from waveform_ot_tpu.models import (
+    StationSet, moment_tensor_from_sdr, synthetic_seismograms,
+)
+from waveform_ot_tpu.ops.transforms import arctan_transform
+from waveform_ot_tpu.parallel import (
+    make_mesh, replicate, shard_leading_axis, sharded_sum,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_problem():
+    nr, nt = 16, 61
+    ang = np.linspace(0, 2 * np.pi, nr, endpoint=False)
+    stations = StationSet(x=jnp.array(60.0 * np.cos(ang)),
+                          y=jnp.array(60.0 * np.sin(ang)))
+    loc = jnp.array([2.0, -1.5, 12.0])
+    mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6)
+    t, s = synthetic_seismograms(loc[0], loc[1], loc[2], mxyz, stations,
+                                 nt=nt, dt=1.0)
+    rng = np.random.default_rng(0)
+    obs = s + 0.002 * float(jnp.max(jnp.abs(s))) * jnp.array(
+        rng.standard_normal(s.shape))
+    cfg = TraceConfig(nu=79, ntg=nt, lambdav=0.04, q=None, p=2)
+    prob = build_loc_cmt_problem(t, obs, stations, cfg, impl="jnp")
+    return stations, loc, mxyz, obs, cfg, prob
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_sum_matches_local(batch_problem):
+    stations, loc, mxyz, obs, cfg, prob = batch_problem
+    nr, nc, nt = obs.shape
+    mesh = make_mesh()
+    un = arctan_transform(obs, prob.windows.u0[..., None],
+                          prob.windows.u1[..., None])
+    flat_w = un.reshape(nr * nc, nt)
+    win01 = unit_amplitude_windows(prob.windows)
+    flat_win = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (nr, nc)).reshape(nr * nc), win01)
+    cfg_fp = dataclasses.replace(cfg, transform=False)
+
+    def per_trace(item, t):
+        w_, wn, tg = item
+        wt, wu = trace_misfit(t, w_, wn, tg, cfg_fp, impl="jnp")
+        return 0.5 * (wt + wu)
+
+    batch = (flat_w, flat_win, prob.targets)
+    local = float(sum(per_trace((flat_w[i],
+                                 jax.tree_util.tree_map(lambda a: a[i],
+                                                        flat_win),
+                                 jax.tree_util.tree_map(lambda a: a[i],
+                                                        prob.targets)),
+                                prob.t) for i in range(nr * nc)))
+    f = sharded_sum(per_trace, mesh)
+    sharded = float(jax.jit(f)(shard_leading_axis(batch, mesh),
+                               *replicate((prob.t,), mesh)))
+    assert abs(local - sharded) < 1e-10 * max(1.0, abs(local))
+
+
+def test_sharded_objective_value_and_grad(batch_problem):
+    # the full loc/CMT objective under a sharded trace batch: value and
+    # parameter gradient must match the single-device computation
+    stations, loc, mxyz, obs, cfg, prob = batch_problem
+    opts = InvOptions(loc=True, cmt=False, mistype="OT")
+    prob2 = prob._replace(mxyz_fixed=mxyz)
+    m = loc + jnp.array([4.0, -3.0, 2.0])
+
+    v0, g0 = loc_cmt_value_and_grad(m, prob2, opts, cfg, impl="jnp")
+
+    mesh = make_mesh()
+    prob_sharded = prob2._replace(
+        targets=shard_leading_axis(prob2.targets, mesh))
+    fn = jax.jit(lambda mm, pp: loc_cmt_value_and_grad(mm, pp, opts, cfg,
+                                                       impl="jnp"))
+    v1, g1 = fn(replicate(m, mesh), prob_sharded)
+    assert abs(float(v0) - float(v1)) < 1e-10 * max(1.0, abs(float(v0)))
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-8)

@@ -1,0 +1,175 @@
+"""Live parity tests against the actual reference library (when mounted).
+
+These go beyond the captured golden values: random problems generated per
+run are fed to both implementations and compared at <=1e-8 (BASELINE.md).
+Skipped automatically when /root/reference is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from waveform_ot_tpu.ops import (
+    make_density_1d, make_density_2d, marg_wasserstein, sliced_wasserstein,
+    transport_plan_1d, wasserstein_1d,
+)
+
+
+@pytest.fixture()
+def problems(rng):
+    out = []
+    for n in (7, 16, 33):
+        f = rng.random(n) + 0.05
+        g = rng.random(n) + 0.05
+        x = np.sort(rng.random(n))
+        y = np.sort(rng.random(n))
+        out.append((f, x, g, y))
+    return out
+
+
+class TestWasserParity:
+    def test_w_and_derivatives(self, reference_libs, problems):
+        OT = reference_libs["OTlib"]
+        for f, x, g, y in problems:
+            src = OT.OTpdf((f, x))
+            tgt = OT.OTpdf((g, y))
+            W1r, dW1r, dW1tr, W2r, dW2r, dW2tr = OT.wasser(
+                src, tgt, "W12", derivatives=True)
+            for p, Wr, dWr, dWtr in ((1, W1r, dW1r, dW1tr),
+                                     (2, W2r, dW2r, dW2tr)):
+                W, (dW, dxf) = jax.value_and_grad(
+                    wasserstein_1d, argnums=(0, 1))(
+                        jnp.array(f), jnp.array(x), jnp.array(g),
+                        jnp.array(y), p)
+                assert abs(float(W) - Wr) <= 1e-10
+                np.testing.assert_allclose(np.asarray(dW), dWr, atol=1e-10)
+                assert abs(float(jnp.sum(dxf)) - dWtr) <= 1e-10
+
+    def test_transport_plan(self, reference_libs, problems):
+        OT = reference_libs["OTlib"]
+        f, x, g, y = problems[0]
+        src = OT.OTpdf((f, x))
+        tgt = OT.OTpdf((g, y))
+        out = OT.wasser(src, tgt, "W2", returnplan=True)
+        Hr = out[-1]
+        H = transport_plan_1d(jnp.array(f), jnp.array(x), jnp.array(g),
+                              jnp.array(y))
+        np.testing.assert_allclose(np.asarray(H), Hr, atol=1e-12)
+
+
+class TestMarginalParity:
+    def test_marg_wasserstein(self, reference_libs, rng):
+        OT = reference_libs["OTlib"]
+        nx, ny = 9, 11
+        fs = rng.random((nx, ny)) + 0.05
+        gs = rng.random((nx, ny)) + 0.05
+        xx, yy = np.meshgrid(np.linspace(0, 1, ny), np.linspace(0, 1, nx))
+        pos = np.dstack([xx, yy])
+        srcr = OT.OTpdf((fs, pos))
+        tgtr = OT.OTpdf((gs, pos))
+        wr, dwr, dgr = OT.MargWasserstein(srcr, tgtr, distfunc="W2",
+                                          derivatives=True)
+        src = make_density_2d(jnp.array(fs), jnp.array(pos))
+        tgt = make_density_2d(jnp.array(gs), jnp.array(pos))
+        w, dw, dg = marg_wasserstein(src, tgt, "W2", derivatives=True)
+        assert abs(float(w) - wr) <= 1e-10
+        np.testing.assert_allclose(np.asarray(dw), dwr, atol=1e-10)
+        assert abs(float(dg) - dgr) <= 1e-10
+
+    def test_marg_wasserstein_per_marginal(self, reference_libs, rng):
+        OT = reference_libs["OTlib"]
+        nx, ny = 8, 10
+        fs = rng.random((nx, ny)) + 0.05
+        gs = rng.random((nx, ny)) + 0.05
+        xx, yy = np.meshgrid(np.linspace(0, 1, ny), np.linspace(0, 1, nx))
+        pos = np.dstack([xx, yy])
+        outr = OT.MargWasserstein(OT.OTpdf((fs, pos)), OT.OTpdf((gs, pos)),
+                                  distfunc="W2", derivatives=True,
+                                  returnmargW=True)
+        src = make_density_2d(jnp.array(fs), jnp.array(pos))
+        tgt = make_density_2d(jnp.array(gs), jnp.array(pos))
+        out = marg_wasserstein(src, tgt, "W2", derivatives=True,
+                               returnmargW=True)
+        np.testing.assert_allclose(np.asarray(out[0]), outr[0], atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out[1][0]), outr[1][0],
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out[1][1]), outr[1][1],
+                                   atol=1e-10)
+        assert abs(float(out[2][0]) - outr[2][0]) <= 1e-10
+
+
+class TestSlicedParity:
+    def test_sliced_value_and_grad(self, reference_libs, rng):
+        OT = reference_libs["OTlib"]
+        nx, ny = 6, 6
+        fs = rng.random((nx, ny)) + 0.05
+        gs = rng.random((nx, ny)) + 0.05
+        xx, yy = np.meshgrid(np.linspace(0, 1, ny), np.linspace(0, 1, nx))
+        pos = np.dstack([xx, yy])
+        nproj = 5
+        outr = OT.SlicedWasserstein(OT.OTpdf((fs, pos)), OT.OTpdf((gs, pos)),
+                                    nproj, distfunc="W2", derivatives=True)
+        src = make_density_2d(jnp.array(fs), jnp.array(pos))
+        tgt = make_density_2d(jnp.array(gs), jnp.array(pos))
+        w, dw = sliced_wasserstein(src, tgt, nproj, "W2", derivatives=True)
+        assert abs(float(w) - outr[0]) <= 1e-10
+        np.testing.assert_allclose(np.asarray(dw), outr[1], atol=1e-10)
+
+
+class TestSinkhornParity:
+    def test_dense_matches_reference(self, reference_libs, rng):
+        OT = reference_libs["OTlib"]
+        from waveform_ot_tpu.ops import sinkhorn_dense
+
+        n = 10
+        f = rng.random(n) + 0.1
+        g = rng.random(n) + 0.1
+        x = np.linspace(0, 1, n)
+        wr, pir = OT.Sinkhorn_MS(OT.OTpdf((f, x)), OT.OTpdf((g, x)),
+                                 gamma=2e-3, maxiters=800)
+        d, pi = sinkhorn_dense(make_density_1d(jnp.array(f), jnp.array(x)),
+                               make_density_1d(jnp.array(g), jnp.array(x)),
+                               gamma=2e-3, iters=800)
+        assert abs(float(d) - wr) <= 1e-8
+        np.testing.assert_allclose(np.asarray(pi), pir, atol=1e-10)
+
+
+class TestFingerprintParity:
+    def test_distance_density_derivs(self, reference_libs, rng):
+        fp = reference_libs["FingerprintLib"]
+        from waveform_ot_tpu.ops import (
+            FingerprintSpec, density_from_distance, distance_field,
+            grid_axes, make_window, normalize_vertices,
+        )
+
+        nt = 50
+        t = np.linspace(-1.0, 3.0, nt)
+        w = np.cos(2 * t) * np.exp(-0.2 * t * t) + 0.05 * rng.standard_normal(nt)
+        grid = (t[0], t[-1], w.min() - 0.25, w.max() + 0.25, 32, nt)
+        wf = fp.waveformFP(t, w, grid)
+        wf.calcpdf(lambdav=0.05, deriv=True)
+
+        win = make_window(*grid[:4])
+        spec = FingerprintSpec(nu=32, ntg=nt)
+        verts = normalize_vertices(jnp.array(t), jnp.array(w), win)
+        tg, ug = grid_axes(jnp.array(t), win, spec)
+        fld = distance_field(verts, tg, ug, impl="jnp")
+        np.testing.assert_allclose(np.asarray(fld.d), wf.dfield, atol=1e-10)
+        pdf = density_from_distance(fld.d, 0.05, q=None)
+        np.testing.assert_allclose(np.asarray(pdf), wf.pdf, atol=1e-10)
+        # envelope VJP vs reference dddy columns, composed into dsum/dw
+        import jax as _jax
+        from waveform_ot_tpu.ops import distance_field_diff
+
+        def dsum(w_):
+            v = normalize_vertices(jnp.array(t), w_, win)
+            return jnp.sum(distance_field_diff(v, tg, ug, "jnp"))
+
+        gw = _jax.grad(dsum)(jnp.array(w))
+        # reference: scatter dddy into vertices by nearest segment
+        s = np.zeros(nt)
+        np.add.at(s, wf.irays, wf.dddy[:, 0])
+        np.add.at(s, wf.irays + 1, wf.dddy[:, 1])
+        np.testing.assert_allclose(np.asarray(gw), s, atol=1e-9)

@@ -8,3 +8,17 @@ from waveform_ot_tpu.inversion.objective import (  # noqa: F401
     RickerProblem, make_ricker_problem, ricker_misfit, ricker_objective,
     ricker_value_and_grad,
 )
+from waveform_ot_tpu.inversion.windows import (  # noqa: F401
+    build_windows, default_grid_dims, unit_amplitude_windows,
+)
+from waveform_ot_tpu.inversion.loc_cmt import (  # noqa: F401
+    InvOptions, LocCMTProblem, build_loc_cmt_problem, loc_cmt_misfit,
+    loc_cmt_value_and_grad, misfit_grid, predicted_seismograms,
+)
+from waveform_ot_tpu.inversion.lbfgs import (  # noqa: F401
+    LBFGSResult, minimize_lbfgs, minimize_multi_start, minimize_scipy,
+)
+from waveform_ot_tpu.inversion.trace import InversionTrace  # noqa: F401
+from waveform_ot_tpu.inversion.analysis import (  # noqa: F401
+    check_convergence, solution_report,
+)

@@ -1,0 +1,184 @@
+"""Source-location / moment-tensor inversion objectives (batched, on-device).
+
+Rewrite of the reference's flagship pipeline (loc_cmt_util.py:113-306):
+``optfunc_OT`` / ``optfunc_L2`` driving the Fukuoka-earthquake example of
+Figs 9-12. Where the reference loops serially over (receiver, component)
+traces in Python (loc_cmt_util.py:255-271, 503-519 — SURVEY.md 2.5), this
+module vmaps one differentiable per-trace pipeline over all traces and jits
+the whole objective; the gradient w.r.t. source location and moment tensor
+is one ``jax.grad`` through forward physics, arctan transform, fingerprint
+kernel, marginal OT, and the sum over traces.
+
+The forward model is pluggable: the on-device synthetic
+(models.seismo.synthetic_seismograms) by default, or the pyprop8 host
+bridge (models.pyprop8_bridge.prop8seis) when pyprop8 is installed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from waveform_ot_tpu.inversion.pipeline import (
+    Targets, TraceConfig, build_target, trace_misfit,
+)
+from waveform_ot_tpu.inversion.windows import (
+    build_windows, unit_amplitude_windows,
+)
+from waveform_ot_tpu.models.seismo import (
+    MediumConfig, StationSet, mxyz_from_upper, synthetic_seismograms,
+)
+from waveform_ot_tpu.ops.fingerprint import Window
+from waveform_ot_tpu.ops.transforms import arctan_transform
+
+
+@dataclasses.dataclass(frozen=True)
+class InvOptions:
+    """Static inversion switches — the reference's ``invopt`` dict
+    (SURVEY.md section 5; assembled in Figs_9_10_11 cell 34)."""
+
+    loc: bool = True
+    cmt: bool = False
+    mistype: str = "OT"      # 'OT' | 'L2'
+    wopt: str = "Wavg"       # 'Wavg' | 'Wt' | 'Wu'
+    precon: bool = False
+    zmin: float = 0.001
+
+
+class LocCMTProblem(NamedTuple):
+    """Dynamic problem data (pytree) — the reference's ``optdata`` bundle
+    (loc_cmt_util.py:113-125) made explicit."""
+
+    t: jax.Array                 # (nt,) time axis
+    seis_obs: jax.Array          # (nr, 3, nt) observed seismograms
+    windows: Window              # per-trace raw-amplitude windows (nr, 3)
+    targets: Targets             # batched observed marginals (nr*3, ...)
+    stations: StationSet
+    medium: MediumConfig
+    mref: jax.Array              # (3,) fixed location when loc=False
+    mscal: jax.Array             # parameter preconditioner (reference mscal)
+    mxyz_fixed: jax.Array        # (3,3) moment tensor when cmt=False
+    fc: jax.Array                # source pulse corner frequency
+
+
+def _clamp_depth_straight_through(z, zmin):
+    """Value max(z, zmin) with gradient 1 everywhere — the reference clamps
+    z before the forward call but still returns d(mis)/dz evaluated at the
+    clamped point (loc_cmt_util.py:206)."""
+    return z - jax.lax.stop_gradient(z - jnp.maximum(z, zmin))
+
+
+def build_loc_cmt_problem(t, seis_obs, stations: StationSet, cfg: TraceConfig,
+                          mref=None, mscal=None, mxyz_fixed=None,
+                          medium: MediumConfig | None = None, fc=0.08,
+                          pad: float = 0.3, impl="auto") -> LocCMTProblem:
+    """Precompute windows + observed-side fingerprint marginals (once,
+    mirroring Figs_9_10_11 cell 46 / OTdata['wfobs_target'])."""
+    nr, nc, nt = seis_obs.shape
+    dtype = seis_obs.dtype
+    windows = build_windows(t, seis_obs, pad=pad)
+    un_obs = arctan_transform(seis_obs, windows.u0[..., None],
+                              windows.u1[..., None])
+    win01 = unit_amplitude_windows(windows)
+    flat_w = un_obs.reshape(nr * nc, nt)
+    flat_win = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (nr, nc)).reshape(nr * nc), win01)
+    cfg_fp = dataclasses.replace(cfg, transform=False)
+    targets = jax.vmap(
+        lambda w_, wn: build_target(t, w_, wn, cfg_fp, impl=impl)
+    )(flat_w, flat_win)
+    if medium is None:
+        medium = MediumConfig.default(dtype)
+    return LocCMTProblem(
+        t=t, seis_obs=seis_obs, windows=windows, targets=targets,
+        stations=stations, medium=medium,
+        mref=jnp.zeros(3, dtype) if mref is None else jnp.asarray(mref),
+        mscal=jnp.ones(1, dtype) if mscal is None else jnp.asarray(mscal),
+        mxyz_fixed=(jnp.eye(3, dtype=dtype) if mxyz_fixed is None
+                    else jnp.asarray(mxyz_fixed)),
+        fc=jnp.asarray(fc, dtype))
+
+
+def _model_to_physics(m, prob: LocCMTProblem, opts: InvOptions):
+    """m -> (x, y, z, Mxyz) applying preconditioning, the depth floor and
+    the loc/cmt parameter layout (loc_cmt_util.py:194-218)."""
+    if opts.precon:
+        m = m * prob.mscal
+    if opts.loc:
+        x, y, z = m[0], m[1], m[2]
+    else:
+        x, y, z = prob.mref[0], prob.mref[1], prob.mref[2]
+    z = _clamp_depth_straight_through(z, opts.zmin)
+    if opts.cmt:
+        mvals = m[3:] if opts.loc else m
+        mxyz = mxyz_from_upper(mvals)
+    else:
+        mxyz = prob.mxyz_fixed
+    return x, y, z, mxyz
+
+
+def predicted_seismograms(m, prob: LocCMTProblem, opts: InvOptions,
+                          forward: Callable | None = None):
+    """Forward physics for the current model (pluggable)."""
+    x, y, z, mxyz = _model_to_physics(m, prob, opts)
+    if forward is not None:
+        return forward(x, y, z, mxyz)
+    nt = prob.t.shape[0]
+    dt = prob.t[1] - prob.t[0]
+    _, s = synthetic_seismograms(x, y, z, mxyz, prob.stations, nt=nt,
+                                 dt=dt, medium=prob.medium, fc=prob.fc,
+                                 t0=prob.t[0])
+    return s
+
+
+def loc_cmt_misfit(m, prob: LocCMTProblem, opts: InvOptions,
+                   cfg: TraceConfig, forward: Callable | None = None,
+                   impl="auto"):
+    """Scalar OT (or L2) misfit summed over all traces
+    (loc_cmt_util.py:239-296). Fully differentiable w.r.t. ``m``."""
+    s = predicted_seismograms(m, prob, opts, forward=forward)
+    if opts.mistype == "L2":
+        r = s - prob.seis_obs
+        return jnp.sum(r * r)
+    nr, nc, nt = s.shape
+    un = arctan_transform(s, prob.windows.u0[..., None],
+                          prob.windows.u1[..., None])
+    win01 = unit_amplitude_windows(prob.windows)
+    flat_w = un.reshape(nr * nc, nt)
+    flat_win = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (nr, nc)).reshape(nr * nc), win01)
+    cfg_fp = dataclasses.replace(cfg, transform=False)
+    wt, wu = jax.vmap(
+        lambda w_, wn, tg: trace_misfit(prob.t, w_, wn, tg, cfg_fp,
+                                        impl=impl)
+    )(flat_w, flat_win, prob.targets)
+    if opts.wopt == "Wt":
+        return jnp.sum(wt)
+    if opts.wopt == "Wu":
+        return jnp.sum(wu)
+    return 0.5 * (jnp.sum(wt) + jnp.sum(wu))
+
+
+def loc_cmt_value_and_grad(m, prob: LocCMTProblem, opts: InvOptions,
+                           cfg: TraceConfig, forward: Callable | None = None,
+                           impl="auto"):
+    """(mis, dmis) — the reference optfunc contract (loc_cmt_util.py:306),
+    including the preconditioner chain (dmis *= mscal under precon, which
+    autodiff applies automatically through _model_to_physics)."""
+    return jax.value_and_grad(loc_cmt_misfit)(m, prob, opts, cfg,
+                                              forward=forward, impl=impl)
+
+
+def misfit_grid(ms, prob: LocCMTProblem, opts: InvOptions, cfg: TraceConfig,
+                impl="auto"):
+    """Vectorized misfit surface scan: ``ms`` is (k, nm) model nodes.
+
+    Replaces the reference's triple Python loop over the (z, x, y) grid
+    (Figs_9_10_11 cell 64; 1,764 serial objective evaluations —
+    SURVEY.md 3.5) with one vmapped, jittable evaluation.
+    """
+    return jax.vmap(lambda m: loc_cmt_misfit(m, prob, opts, cfg, impl=impl)
+                    )(ms)

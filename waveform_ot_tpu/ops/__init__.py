@@ -20,3 +20,13 @@ from waveform_ot_tpu.ops.fingerprint import (  # noqa: F401
     fingerprint_density, point_distance,
 )
 from waveform_ot_tpu.ops.transforms import arctan_transform  # noqa: F401
+from waveform_ot_tpu.ops.sliced import (  # noqa: F401
+    SlicedProjections, project_sliced, sliced_wasserstein,
+    sliced_wasserstein_plan_cost, sliced_wasserstein_value,
+)
+from waveform_ot_tpu.ops.sinkhorn import (  # noqa: F401
+    gaussian_filter, sinkhorn_dense, sinkhorn_gaussian, sinkhorn_log,
+)
+from waveform_ot_tpu.ops.barycenter import (  # noqa: F401
+    barycenter_continuous, barycenter_pointmass,
+)

@@ -180,18 +180,83 @@ def _distance_field_jnp(verts, tgrid, ugrid) -> DistanceField:
                          lbest.reshape(shape))
 
 
+def _distance_field_scan(verts, tgrid, ugrid, chunk: int = 16) -> DistanceField:
+    """Memory-bounded XLA implementation: lax.scan over segment chunks with a
+    running (min, argmin, lam) — the same chunked algorithm as the Pallas
+    kernel, expressed in pure XLA. Peak temporary is (Ngrid, chunk) instead
+    of the jnp impl's (Ngrid, Nseg). First-tie argmin semantics preserved
+    (within-chunk index-min + strict < across chunks)."""
+    nseg = verts.shape[0] - 1
+    x0 = verts[:-1]
+    c = verts[1:] - verts[:-1]
+    il = 1.0 / jnp.sum(c * c, axis=1)
+    n_chunks = -(-nseg // chunk)
+    pad = n_chunks * chunk - nseg
+    big = jnp.asarray(1.0e6, verts.dtype)
+    x0p = jnp.concatenate([x0, jnp.full((pad, 2), big, verts.dtype)])
+    cp = jnp.concatenate([c, jnp.zeros((pad, 2), verts.dtype)])
+    ilp = jnp.concatenate([il, jnp.zeros((pad,), verts.dtype)])
+    segs = (x0p.reshape(n_chunks, chunk, 2), cp.reshape(n_chunks, chunk, 2),
+            ilp.reshape(n_chunks, chunk),
+            (jnp.arange(n_chunks) * chunk).astype(jnp.int32))
+
+    tt, uu = jnp.meshgrid(tgrid, ugrid)
+    p = jnp.stack([tt.ravel(), uu.ravel()], axis=1)        # (N, 2)
+    n = p.shape[0]
+
+    def body(carry, seg):
+        rmin, ridx = carry
+        x0k, ck, ilk, base = seg
+        b = p[:, None, :] - x0k[None, :, :]                # (N, chunk, 2)
+        bc = jnp.sum(b * ck[None], axis=2)
+        lam = jnp.clip(bc * ilk[None], 0.0, 1.0)
+        ds = b - ck[None] * lam[..., None]
+        dsq = jnp.sum(ds * ds, axis=2)                     # (N, chunk)
+        minv = jnp.min(dsq, axis=1)
+        amin = jnp.argmin(dsq, axis=1).astype(jnp.int32)   # first tie
+        better = minv < rmin
+        return (jnp.where(better, minv, rmin),
+                jnp.where(better, base + amin, ridx)), None
+
+    init = (jnp.full((n,), jnp.asarray(1.0e30, verts.dtype)),
+            jnp.zeros((n,), jnp.int32))
+    (_, ridx), _ = jax.lax.scan(body, init, segs)
+    # Recompute lam and d from the winning segment. Both a per-point
+    # gather-by-argmin carried through the scan and a post-scan table
+    # gather lower to multi-ms TPU kernels; the one-hot matmul form stays
+    # on the MXU (see _segment_one_hot).
+    oh = _segment_one_hot(ridx, nseg, verts.dtype)
+    table = jnp.concatenate([x0, c, il[:, None]], axis=1)  # (nseg, 5)
+    gath = jnp.dot(oh, table, preferred_element_type=verts.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+    x0w, cw, ilw = gath[:, 0:2], gath[:, 2:4], gath[:, 4]
+    b = p - x0w
+    lam = jnp.clip(jnp.sum(b * cw, axis=1) * ilw, 0.0, 1.0)
+    ds = b - cw * lam[:, None]
+    d = jnp.sqrt(jnp.sum(ds * ds, axis=1))
+    shape = (ugrid.shape[0], tgrid.shape[0])
+    return DistanceField(d.reshape(shape), ridx.reshape(shape),
+                         lam.reshape(shape))
+
+
 def distance_field(verts, tgrid, ugrid, impl: str = "auto") -> DistanceField:
     """Nearest distance from every grid point to the waveform polyline.
 
     Args:
       verts: (nt, 2) polyline vertices in normalized coordinates.
       tgrid: (ntg,) grid time axis; ugrid: (nu,) grid amplitude axis.
-      impl:  'jnp' | 'pallas' | 'auto' ('auto' = pallas on TPU, jnp otherwise).
+      impl:  'jnp'    — single vectorized (Ngrid, Nseg) expression
+                        (reference semantics oracle, memory-hungry);
+             'xla'    — chunked lax.scan, bounded memory, pure XLA;
+             'pallas' — the Pallas TPU kernel (ops/pallas_distance.py);
+             'auto'   — pallas on TPU, jnp otherwise.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if impl == "jnp":
         return _distance_field_jnp(verts, tgrid, ugrid)
+    if impl == "xla":
+        return _distance_field_scan(verts, tgrid, ugrid)
     if impl == "pallas":
         from waveform_ot_tpu.ops import pallas_distance
 
@@ -199,19 +264,35 @@ def distance_field(verts, tgrid, ugrid, impl: str = "auto") -> DistanceField:
     raise errors.FingerprintMethodError(impl)
 
 
-def _recompute_closest(verts, tgrid, ugrid, fld: DistanceField):
-    """Residual quantities for the VJP from the saved argmin data."""
-    tt, uu = jnp.meshgrid(tgrid, ugrid)
-    p = jnp.stack([tt, uu], axis=-1)                      # (nu, ntg, 2)
-    x0 = verts[:-1][fld.iclose]                           # (nu, ntg, 2)
-    c = (verts[1:] - verts[:-1])[fld.iclose]
-    xstar = x0 + fld.lam[..., None] * c
-    return p, xstar
+def _segment_one_hot(iclose, nseg, dtype):
+    """(N, nseg) one-hot of the winning segment per grid point.
+
+    On TPU, batched gathers from small per-trace tables and scatter-adds
+    into them lower to multi-ms kernels (measured 4-9 ms each at the
+    192-trace loc/CMT config); expressing both as one-hot matmuls keeps the
+    whole VJP on the MXU at sub-ms cost. The one-hot is exact in any float
+    dtype, so gather/scatter results are bit-identical.
+    """
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nseg), 1)
+    return (iclose.reshape(-1, 1) == seg_ids).astype(dtype)
 
 
 def _distance_vjp(verts, tgrid, ugrid, fld: DistanceField, gbar):
     """Envelope-form backward pass (see module docstring)."""
-    p, xstar = _recompute_closest(verts, tgrid, ugrid, fld)
+    nt = verts.shape[0]
+    nseg = nt - 1
+    tt, uu = jnp.meshgrid(tgrid, ugrid)
+    p = jnp.stack([tt, uu], axis=-1)                      # (nu, ntg, 2)
+    x0 = verts[:-1]
+    c = verts[1:] - verts[:-1]
+    oh = _segment_one_hot(fld.iclose, nseg, verts.dtype)  # (N, nseg)
+    table = jnp.concatenate([x0, c], axis=1)              # (nseg, 4)
+    gath = jnp.dot(oh, table, preferred_element_type=verts.dtype,
+                   precision=jax.lax.Precision.HIGHEST)   # (N, 4)
+    shape = fld.d.shape
+    x0w = gath[:, 0:2].reshape(shape + (2,))
+    cw = gath[:, 2:4].reshape(shape + (2,))
+    xstar = x0w + fld.lam[..., None] * cw
     safe_d = jnp.where(fld.d > 0, fld.d, 1.0)
     # direction of increase of d w.r.t. the closest point x*
     gdir = (xstar - p) / safe_d[..., None]                # (nu, ntg, 2)
@@ -219,11 +300,17 @@ def _distance_vjp(verts, tgrid, ugrid, fld: DistanceField, gbar):
     gv = gbar[..., None] * gdir
     w0 = (1.0 - fld.lam)[..., None] * gv                  # start-vertex share
     w1 = fld.lam[..., None] * gv                          # end-vertex share
-    nt = verts.shape[0]
-    seg = fld.iclose.ravel()
-    gverts = jnp.zeros((nt, 2), verts.dtype)
-    gverts = gverts.at[seg].add(w0.reshape(-1, 2))
-    gverts = gverts.at[seg + 1].add(w1.reshape(-1, 2))
+    # scatter-to-segments as one-hot^T matmuls (MXU), then shift-add the
+    # end-vertex shares onto vertex i+1
+    gseg0 = jnp.dot(oh.T, w0.reshape(-1, 2),
+                    preferred_element_type=verts.dtype,
+                    precision=jax.lax.Precision.HIGHEST)  # (nseg, 2)
+    gseg1 = jnp.dot(oh.T, w1.reshape(-1, 2),
+                    preferred_element_type=verts.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+    zero = jnp.zeros((1, 2), verts.dtype)
+    gverts = (jnp.concatenate([gseg0, zero], axis=0)
+              + jnp.concatenate([zero, gseg1], axis=0))   # (nt, 2)
     gp = -gv                                              # dd/dp = (p - x*)/d
     gtgrid = jnp.sum(gp[..., 0], axis=0)
     gugrid = jnp.sum(gp[..., 1], axis=1)

@@ -1,0 +1,147 @@
+"""Sliced Wasserstein distances for 2-D densities.
+
+Rewrite of OTpdf.setSliced + SlicedWasserstein (reference:
+libs/OTlib.py:119-144, 1156-1318). The reference loops over projections in
+Python, calling ``wasser`` per slice and scatter-accumulating derivatives
+through the per-slice sort permutations; here the projections are one
+matmul, the per-slice solves are one ``jax.vmap``, and the permutation
+scatter + normalization projection fall out of autodiff (the gradient of a
+gather is the scatter the reference hand-codes at OTlib.py:1267,1275).
+
+Per Rabin et al. (2012), the optimal map between equal-weight point clouds
+on a line is the identity in sorted order (noted at OTlib.py:1234), which is
+why sorting each projection suffices.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from waveform_ot_tpu.ops.otpdf import Density2D
+from waveform_ot_tpu.ops.wasser import (
+    transport_plan_1d, wasserstein_1d, wasserstein_1d_cost,
+)
+
+
+def projection_angles(nproj: int, dtype=jnp.float64) -> jax.Array:
+    """Regularly spaced slice angles in (0.1745, pi) — OTlib.py:133-134."""
+    return jnp.linspace(jnp.asarray(0.1745, dtype), jnp.asarray(jnp.pi, dtype),
+                        nproj + 1)[:-1]
+
+
+class SlicedProjections(NamedTuple):
+    """Per-angle sorted projections of a 2-D point-mass field.
+
+    f_sorted: (nproj, n) amplitudes in projection-sorted order
+    x_sorted: (nproj, n) sorted projected coordinates
+    psorted:  (nproj, n) the argsort permutations (reference ``psorted``)
+    angles:   (nproj,)
+    """
+
+    f_sorted: jax.Array
+    x_sorted: jax.Array
+    psorted: jax.Array
+    angles: jax.Array
+
+
+def project_sliced(density: Density2D, nproj: int, origin) -> SlicedProjections:
+    """OTpdf.setSliced (OTlib.py:119-144) as a pure function."""
+    f = density.pdf.reshape(density.n)
+    theta = projection_angles(nproj, f.dtype)
+    r = jnp.stack([jnp.cos(theta), jnp.sin(theta)])        # (2, nproj)
+    a = density.x.reshape(density.n, 2) - jnp.asarray(origin, f.dtype)
+    fxp = (a @ r).T                                        # (nproj, n)
+    psorted = jnp.argsort(fxp, axis=1, stable=True)
+    x_sorted = jnp.take_along_axis(fxp, psorted, axis=1)
+    f_sorted = f[psorted]
+    return SlicedProjections(f_sorted=f_sorted, x_sorted=x_sorted,
+                             psorted=psorted, angles=theta)
+
+
+def sliced_wasserstein_value(u2d, x2d, target: SlicedProjections,
+                             nproj: int, p: int = 2, origin=(0.5, 0.5)):
+    """Average W_p^p over ``nproj`` slices, as a pure differentiable function
+    of the unnormalized source density ``u2d``.
+
+    ``target`` is precomputed with :func:`project_sliced`. Gradients w.r.t.
+    ``u2d`` reproduce the reference's psorted scatter + normalization
+    projection (OTlib.py:1275, 1306-1310) via autodiff.
+    """
+    n = u2d.size
+    f = u2d.reshape(n)
+    dtype = f.dtype
+    theta = projection_angles(nproj, dtype)
+    r = jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+    a = x2d.reshape(n, 2) - jnp.asarray(origin, dtype)
+    fxp = (a @ r).T
+    psorted = jax.lax.stop_gradient(jnp.argsort(fxp, axis=1, stable=True))
+    x_sorted = jnp.take_along_axis(fxp, psorted, axis=1)
+    f_sorted = f[psorted]
+
+    ws = jax.vmap(lambda fs, xs, gs, ys: wasserstein_1d(fs, xs, gs, ys, p))(
+        f_sorted, x_sorted, target.f_sorted, target.x_sorted)
+    return jnp.mean(ws)
+
+
+def sliced_wasserstein(source: Density2D, target: Density2D, nproj: int,
+                       distfunc: str = "W2", derivatives: bool = False,
+                       returnplan: bool = False, origin=(0.5, 0.5)):
+    """API-parity wrapper matching the reference return structure
+    (OTlib.py:1173-1176):
+
+      [wsliced]                      derivatives=False, returnplan=False
+      [wsliced, dwsliced]            derivatives=True,  returnplan=False
+      [wsliced, H]                   derivatives=False, returnplan=True
+      [wsliced, dwsliced, H]         derivatives=True,  returnplan=True
+
+    dwsliced is (nx, ny) w.r.t. unnormalized source amplitudes; H is the
+    average transport plan over slices scattered back to the unsorted
+    ordering (the reference's Hgp accumulation, OTlib.py:1268).
+    """
+    p = 1 if distfunc == "W1" else 2
+    tgt = project_sliced(target, nproj, origin)
+    u2d = source.pdf * source.amp
+
+    def value(u):
+        return sliced_wasserstein_value(u, source.x, tgt, nproj, p,
+                                        origin=origin)
+
+    out = []
+    if derivatives:
+        w, dw = jax.value_and_grad(value)(u2d)
+        out += [w, dw]
+    else:
+        out.append(value(u2d))
+    if returnplan:
+        src = project_sliced(source, nproj, origin)
+        plans = jax.vmap(transport_plan_1d)(
+            src.f_sorted, src.x_sorted, tgt.f_sorted, tgt.x_sorted)
+
+        def unscramble(H, pf, pg):
+            n1, n2 = H.shape
+            out = jnp.zeros_like(H)
+            return out.at[pf[:, None], pg[None, :]].add(H)
+
+        Hgp = jnp.sum(jax.vmap(unscramble)(plans, src.psorted, tgt.psorted),
+                      axis=0) / nproj
+        out.append(Hgp)
+    return out
+
+
+def sliced_wasserstein_plan_cost(source: Density2D, target: Density2D,
+                                 nproj: int, cost, origin=(0.5, 0.5)):
+    """The reference's fast 'Wplan' path (OTlib.py:1195 option 2): average
+    the per-slice 1-D solves against a precomputed 2-D cost matrix indexed
+    through the slice permutations (distfunction, OTlib.py:574-594)."""
+    src = project_sliced(source, nproj, origin)
+    tgt = project_sliced(target, nproj, origin)
+
+    def one(fs, xs, gs, ys, pf, pg):
+        return wasserstein_1d_cost(fs, gs, cost, indexer=(pf, pg))
+
+    ws = jax.vmap(one)(src.f_sorted, src.x_sorted, tgt.f_sorted,
+                       tgt.x_sorted, src.psorted, tgt.psorted)
+    return jnp.mean(ws)

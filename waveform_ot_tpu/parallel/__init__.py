@@ -1,1 +1,6 @@
-"""(populated in later milestones)"""
+"""Mesh/sharding utilities (no reference analog — SURVEY.md section 2.5)."""
+
+from waveform_ot_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, pjit_batched_misfit, replicate, shard_leading_axis,
+    sharded_sum,
+)
