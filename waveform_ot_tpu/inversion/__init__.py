@@ -19,6 +19,7 @@ from waveform_ot_tpu.inversion.lbfgs import (  # noqa: F401
     LBFGSResult, minimize_lbfgs, minimize_multi_start, minimize_scipy,
 )
 from waveform_ot_tpu.inversion.trace import InversionTrace  # noqa: F401
+from waveform_ot_tpu.inversion.l2 import ls_misfit, window_union  # noqa: F401
 from waveform_ot_tpu.inversion.analysis import (  # noqa: F401
     check_convergence, solution_report,
 )

@@ -71,13 +71,16 @@ def minimize_multi_start(fun: Callable, x0s, max_iter: int = 200,
 
 
 def minimize_scipy(value_and_grad_fn: Callable, x0, method: str = "L-BFGS-B",
-                   callback=None, **kwargs):
+                   callback=None, jit_objective: bool = True, **kwargs):
     """scipy.optimize.minimize over a jitted (value, grad) function —
-    the reference's host-loop workflow. Returns the scipy result object."""
+    the reference's host-loop workflow. Returns the scipy result object.
+
+    Pass ``jit_objective=False`` when the objective has host-side effects
+    (e.g. an InversionTrace-wrapped function, which jits internally)."""
     import numpy as np
     from scipy.optimize import minimize
 
-    jitted = jax.jit(value_and_grad_fn)
+    jitted = jax.jit(value_and_grad_fn) if jit_objective else value_and_grad_fn
 
     def fun(m):
         v, g = jitted(jnp.asarray(m))

@@ -42,13 +42,22 @@ class InversionTrace:
     def record_iterate(self, m) -> None:
         self.iterates.append(np.asarray(m).copy())
 
-    def wrap_objective(self, value_and_grad_fn: Callable) -> Callable:
+    def wrap_objective(self, value_and_grad_fn: Callable,
+                       jit: bool = True) -> Callable:
         """Wrap a (value, grad) objective so every call is recorded —
         functional replacement for the reference's in-objective appends
-        (ricker_util.py:403, loc_cmt_util.py:298)."""
+        (ricker_util.py:403, loc_cmt_util.py:298).
+
+        The inner objective is jitted here (recording happens host-side,
+        outside the trace); pass the result to
+        ``minimize_scipy(..., jit_objective=False)``.
+        """
+        import jax
+
+        inner = jax.jit(value_and_grad_fn) if jit else value_and_grad_fn
 
         def wrapped(m, *args, **kwargs):
-            v, g = value_and_grad_fn(m, *args, **kwargs)
+            v, g = inner(m, *args, **kwargs)
             self.record_eval(m, v, g)
             return v, g
 
