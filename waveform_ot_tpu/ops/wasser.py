@@ -53,11 +53,19 @@ from waveform_ot_tpu.ops.otpdf import Density1D
 
 
 def _cdf(f: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """amp and renormalized CDF of unnormalized amplitudes (OTlib.py:92,112)."""
+    """amp and renormalized CDF of unnormalized amplitudes (OTlib.py:92,112).
+
+    The CDF is pinned with an optimization barrier: the merged-support logic
+    compares CDF values exactly (rank counting / bisect semantics), and XLA
+    is otherwise free to rematerialize the cumsum with different
+    associativity at different use sites — 1-ulp discrepancies between
+    copies break the total order and corrupt the merge (observed as
+    nondeterministic W under jit+vmap on CPU).
+    """
     amp = jnp.sum(f, axis=-1)
     cdf = jnp.cumsum(f, axis=-1) / amp[..., None]
     cdf = cdf / cdf[..., -1:]
-    return amp, cdf
+    return amp, jax.lax.optimization_barrier(cdf)
 
 
 def _merge(cf: jax.Array, cg: jax.Array):
@@ -69,6 +77,85 @@ def _merge(cf: jax.Array, cg: jax.Array):
     indg = jnp.searchsorted(cg, tk, side="left")
     dtk = jnp.diff(tk, prepend=jnp.zeros((1,), tk.dtype))
     return tk, tkarg, indf, indg, dtk
+
+
+# Size threshold for the O(m^2) ranked merge. On TPU, sorts/searchsorted/
+# gathers over small batched arrays lower to ms-scale while-loops and
+# scatters; counting ranks with dense compares + one-hot matmuls is ~10x
+# faster up to m ~ 1k (profiled on v5e). Above the threshold the sort path
+# wins on memory.
+_RANKED_MERGE_MAX = 1024
+
+
+def _stable_ranks(af: jax.Array, cg: jax.Array):
+    """Stable-sort ranks of the merged array concat(af, cg) by comparison
+    counting: rank(v_k) = #{j: v_j < v_k} + #{j < k: v_j == v_k}, with all
+    af slots preceding all cg slots at equal values (= argsort stable=True
+    tie order on the concatenated array).
+
+    Also returns per-slot bisect_left indices derived from the SAME
+    comparison set (indf_slot = bisect_left(cf, a_k), indg_slot =
+    bisect_left(cg, a_k)): re-comparing floats against the sorted merged
+    values is not compilation-stable — XLA may rematerialize the cumsum
+    CDFs with different rounding at different use sites, and any
+    inconsistency between the two comparison rounds corrupts the merge.
+    Deriving everything from one comparison set makes the result exact for
+    whatever rounding the compiler picks.
+    """
+    nf1 = af.shape[0]
+    lt_ff = jnp.sum(af[:, None] > af[None, :], axis=1)
+    lt_fg = jnp.sum(af[:, None] > cg[None, :], axis=1)
+    i = jnp.arange(nf1)
+    eq_ff = jnp.sum((af[:, None] == af[None, :])
+                    & (i[None, :] < i[:, None]), axis=1)
+    rank_f = lt_ff + lt_fg + eq_ff
+
+    ng = cg.shape[0]
+    lt_gf = jnp.sum(cg[:, None] > af[None, :], axis=1)
+    lt_gg = jnp.sum(cg[:, None] > cg[None, :], axis=1)
+    j = jnp.arange(ng)
+    eq_gf = jnp.sum(cg[:, None] == af[None, :], axis=1)  # af slots precede
+    eq_gg = jnp.sum((cg[:, None] == cg[None, :])
+                    & (j[None, :] < j[:, None]), axis=1)
+    rank_g = lt_gf + lt_gg + eq_gf + eq_gg
+    ranks = jnp.concatenate([rank_f, rank_g]).astype(jnp.int32)
+
+    # bisect_left(cf, a_k): f-slot k -> first index of its equal run in af
+    # (k - eq_ff; the trailing cf[-1]=1.0 entry always compares >=);
+    # g-slot j -> #(af < cg_j) (+0 for cf[-1]=1.0 which is never < cg_j).
+    indf_slot = jnp.concatenate([i - eq_ff, lt_gf]).astype(jnp.int32)
+    # bisect_left(cg, a_k): f-slot k -> #(cg < af_k); g-slot j -> first
+    # index of its equal run in cg.
+    indg_slot = jnp.concatenate([lt_fg, j - eq_gg]).astype(jnp.int32)
+    return ranks, indf_slot, indg_slot
+
+
+def _one_hot_dot(idx, n, mat):
+    """one_hot(idx, n) @ mat without gathers — exact (HIGHEST precision)."""
+    oh = (idx[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
+        mat.dtype)
+    return jnp.dot(oh, mat, preferred_element_type=mat.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _merge_ranked(cf: jax.Array, cg: jax.Array):
+    """Sort-free equivalent of :func:`_merge` for small merged supports.
+
+    Semantically identical outputs (exact comparisons, one-hot selection);
+    replaces argsort/searchsorted/gathers with dense compares and MXU
+    matmuls. ``indf``/``indg`` are per-SLOT (unsorted) — transport to
+    sorted positions with the returned permutation one-hot ``oh``.
+    """
+    a = jnp.concatenate([cf[:-1], cg])
+    m = a.shape[0]
+    ranks, indf_slot, indg_slot = _stable_ranks(cf[:-1], cg)
+    # oh[k, l] = 1 iff slot k sits at sorted position l
+    oh = (ranks[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]).astype(
+        a.dtype)                                           # (m_slots, m_pos)
+    tk = jnp.dot(oh.T, a, preferred_element_type=a.dtype,
+                 precision=jax.lax.Precision.HIGHEST)
+    dtk = jnp.diff(tk, prepend=jnp.zeros((1,), tk.dtype))
+    return tk, ranks, indf_slot, indg_slot, dtk, oh
 
 
 def _dist(dx: jax.Array, p: int) -> jax.Array:
@@ -133,14 +220,28 @@ def wasserstein_1d(f, xf, g, xg, p: int = 2):
     return w
 
 
+def _use_ranked(nf: int, ng: int) -> bool:
+    return (nf + ng - 1) <= _RANKED_MERGE_MAX
+
+
 def _wasser_fwd_impl(f, xf, g, xg, p):
     ampf, cf = _cdf(f)
     ampg, cg = _cdf(g)
-    tk, tkarg, indf, indg, dtk = _merge(cf, cg)
-    dx = xf[indf] - xg[indg]
+    if _use_ranked(f.shape[0], g.shape[0]):
+        # per-slot computation, transported to sorted positions via the
+        # permutation one-hot (single comparison set; see _stable_ranks)
+        tk, perm, indf, indg, dtk, oh = _merge_ranked(cf, cg)
+        xft = _one_hot_dot(indf, xf.shape[0], xf[:, None])[:, 0]
+        xgt = _one_hot_dot(indg, xg.shape[0], xg[:, None])[:, 0]
+        dx_slot = xft - xgt
+        dx = jnp.dot(oh.T, dx_slot, preferred_element_type=dx_slot.dtype,
+                     precision=jax.lax.Precision.HIGHEST)  # sorted order
+    else:
+        tk, perm, indf, indg, dtk = _merge(cf, cg)
+        dx = xf[indf] - xg[indg]
     dist = _dist(dx, p)
     w = jnp.dot(dist, dtk)
-    res = (ampf, cf, ampg, cg, tkarg, indf, indg, dtk, dx)
+    res = (ampf, cf, ampg, cg, perm, indf, indg, dtk, dx)
     return w, res
 
 
@@ -149,21 +250,45 @@ def _wasser_fwd(f, xf, g, xg, p):
 
 
 def _wasser_bwd(p, res, wbar):
-    ampf, cf, ampg, cg, tkarg, indf, indg, dtk, dx = res
+    ampf, cf, ampg, cg, perm, indf, indg, dtk, dx = res
     nf = cf.shape[0]
     ng = cg.shape[0]
     m = dtk.shape[0]
     dist = _dist(dx, p)
+    ranked = _use_ranked(nf, ng)
 
-    # positions: scatter-add the translation integrand per support point
-    # (segment-sum replaces the reference's implicit sum; OTlib.py:693-706).
+    # positions: segment-sum of the translation integrand per support point
+    # (replaces the reference's implicit sum; OTlib.py:693-706). On the
+    # ranked path the scatter-add becomes a one-hot matmul, with the
+    # sorted-order integrand first transported back to slots (indf/indg are
+    # per-slot there; see _merge_ranked).
+    hp = jax.lax.Precision.HIGHEST
     ddx = _dist_ddx(dx, p) * dtk * wbar
-    gxf = jnp.zeros(nf, dx.dtype).at[indf].add(ddx)
-    gxg = jnp.zeros(ng, dx.dtype).at[indg].add(-ddx)
+    if ranked:
+        oh = (perm[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+              ).astype(dx.dtype)
+        ddx_slot = jnp.dot(oh, ddx, preferred_element_type=ddx.dtype,
+                           precision=hp)
+        gxf = jnp.dot(
+            (indf[:, None] == jnp.arange(nf, dtype=jnp.int32)).astype(
+                ddx.dtype).T, ddx_slot,
+            preferred_element_type=ddx.dtype, precision=hp)
+        gxg = -jnp.dot(
+            (indg[:, None] == jnp.arange(ng, dtype=jnp.int32)).astype(
+                ddx.dtype).T, ddx_slot,
+            preferred_element_type=ddx.dtype, precision=hp)
+    else:
+        gxf = jnp.zeros(nf, dx.dtype).at[indf].add(ddx)
+        gxg = jnp.zeros(ng, dx.dtype).at[indg].add(-ddx)
 
     # amplitudes: closed-form Diffdtk adjoint (see module docstring).
-    e = dist - jnp.concatenate([dist[1:], jnp.zeros((1,), dist.dtype)])
-    s = jnp.zeros(m, dist.dtype).at[tkarg].set(e * wbar)
+    e = (dist - jnp.concatenate([dist[1:], jnp.zeros((1,), dist.dtype)])
+         ) * wbar
+    if ranked:
+        # s[k] = e[rank_k]: permutation one-hot matmul instead of a scatter
+        s = jnp.dot(oh, e, preferred_element_type=e.dtype, precision=hp)
+    else:
+        s = jnp.zeros(m, dist.dtype).at[perm].set(e)
     gf = _amp_grad(s[: nf - 1], cf, ampf, last=False)
     gg = _amp_grad(s[nf - 1 :], cg, ampg, last=True)
     return gf, gxf, gg, gxg
