@@ -180,3 +180,50 @@ class TestInversion:
             np.asarray(starts), np.asarray(res.x), np.asarray(loc),
             dlimit=1.0, exclude_edge=None)
         assert frac == 1.0
+
+
+class TestHostBridge:
+    def test_host_forward_with_jacobian_mock(self):
+        # the pure_callback + custom-VJP machinery with a mock host physics
+        import numpy as onp
+
+        from waveform_ot_tpu.models.pyprop8_bridge import (
+            host_forward_with_jacobian,
+        )
+
+        A = onp.arange(12.0).reshape(4, 3) / 10.0
+
+        def host_fn(m):
+            val = (A @ m).reshape(2, 2)           # linear "physics"
+            jac = A.T.reshape(3, 2, 2)            # analytic jacobian
+            return val, jac
+
+        m = jnp.array([0.5, -1.0, 2.0])
+        out = host_forward_with_jacobian(host_fn, m, (2, 2), jnp.float64,
+                                         (3, 2, 2))
+        np.testing.assert_allclose(np.asarray(out),
+                                   (A @ np.asarray(m)).reshape(2, 2))
+
+        def loss(mm):
+            return jnp.sum(host_forward_with_jacobian(
+                host_fn, mm, (2, 2), jnp.float64, (3, 2, 2)) ** 2)
+
+        g = jax.grad(loss)(m)
+        expected = 2.0 * A.T @ (A @ np.asarray(m))
+        np.testing.assert_allclose(np.asarray(g), expected, atol=1e-12)
+
+    def test_host_bridge_under_jit(self):
+        import numpy as onp
+
+        from waveform_ot_tpu.models.pyprop8_bridge import (
+            host_forward_with_jacobian,
+        )
+
+        A = onp.ones((2, 3))
+
+        def host_fn(m):
+            return (A @ m)[None, :], A.T[:, None, :]
+
+        f = jax.jit(lambda m: jnp.sum(host_forward_with_jacobian(
+            host_fn, m, (1, 2), jnp.float64, (3, 1, 2))))
+        assert float(f(jnp.ones(3))) == 6.0

@@ -162,3 +162,65 @@ class TestBarycenter:
             xk, pk = np.asarray(path[k, 0]), np.asarray(path[k, 1])
             mass = np.trapezoid(pk, xk)
             assert abs(mass - 1.0) < 0.05
+
+
+class TestSlicedPlanJacobian:
+    def test_fd(self, rng):
+        from waveform_ot_tpu.ops.sliced import (
+            sliced_plan_jacobian, sliced_wasserstein,
+        )
+        from waveform_ot_tpu.ops import make_density_2d
+
+        nx = 3
+        fs = rng.random((nx, nx)) + 0.1
+        gs = rng.random((nx, nx)) + 0.1
+        xx, yy = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, nx))
+        pos = np.dstack([xx, yy])
+        s = make_density_2d(jnp.array(fs), jnp.array(pos))
+        t = make_density_2d(jnp.array(gs), jnp.array(pos))
+        nproj = 3
+        dH = sliced_plan_jacobian(s, t, nproj)
+        eps = 1e-7
+
+        def plan_of(fmat):
+            sd = make_density_2d(jnp.array(fmat), jnp.array(pos))
+            return np.asarray(
+                sliced_wasserstein(sd, t, nproj, returnplan=True)[-1])
+
+        for k in [0, 4, 8]:
+            fp = fs.copy().reshape(-1)
+            fm = fs.copy().reshape(-1)
+            fp[k] += eps
+            fm[k] -= eps
+            fd = (plan_of(fp.reshape(nx, nx))
+                  - plan_of(fm.reshape(nx, nx))) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(dH[k]), fd, atol=5e-6)
+
+
+class TestOptionalBridges:
+    def test_pot_raises_without_library(self, rng):
+        from waveform_ot_tpu.ops import errors
+        from waveform_ot_tpu.ops.pot_bridge import HAVE_POT, wasser_pot
+        from waveform_ot_tpu.ops import make_density_1d
+
+        src = make_density_1d(jnp.array(rng.random(5) + 0.1),
+                              jnp.linspace(0, 1, 5))
+        if HAVE_POT:
+            w = wasser_pot(src, src, "W2")[0]
+            assert abs(w) < 1e-10
+        else:
+            with pytest.raises(errors.POTLibraryError):
+                wasser_pot(src, src, "W2")
+
+    def test_fmm_raises_without_library(self):
+        from waveform_ot_tpu.ops import errors
+        from waveform_ot_tpu.ops.fmm import HAVE_SKFMM, distance_field_fmm
+
+        t = np.linspace(0, 1, 10)
+        w = np.sin(t)
+        if HAVE_SKFMM:
+            d = distance_field_fmm(t, w, t, np.linspace(-1, 2, 8))
+            assert d.shape == (8, 10)
+        else:
+            with pytest.raises(errors.FMMLibraryError):
+                distance_field_fmm(t, w, t, np.linspace(-1, 2, 8))

@@ -30,3 +30,5 @@ from waveform_ot_tpu.ops.sinkhorn import (  # noqa: F401
 from waveform_ot_tpu.ops.barycenter import (  # noqa: F401
     barycenter_continuous, barycenter_pointmass,
 )
+from waveform_ot_tpu.ops.sliced import sliced_plan_jacobian  # noqa: F401
+from waveform_ot_tpu.ops import fmm, pot_bridge  # noqa: F401

@@ -131,6 +131,41 @@ def sliced_wasserstein(source: Density2D, target: Density2D, nproj: int,
     return out
 
 
+def sliced_plan_jacobian(source: Density2D, target: Density2D, nproj: int,
+                         origin=(0.5, 0.5)):
+    """d(average plan)/d(unnormalized source amplitudes): (n, n, n).
+
+    The reference assembles dHgp by scattering each slice's dH through the
+    sort permutations (OTlib.py:1265-1266) then applies the normalization
+    projection (OTlib.py:1314-1315); here each slice's plan Jacobian comes
+    from transport_plan_jacobian and the permutation unscramble is a
+    vmapped index remap. The source-amplitude axis (axis 0) is also mapped
+    back through psorted, and the projection to unnormalized amplitudes is
+    applied like the reference.
+    """
+    from waveform_ot_tpu.ops.wasser import transport_plan_jacobian
+
+    src = project_sliced(source, nproj, origin)
+    tgt = project_sliced(target, nproj, origin)
+    n = source.n
+
+    def one(fs, xs, gs, ys, pf, pg):
+        dH = transport_plan_jacobian(fs, xs, gs, ys)      # (n, n, n) sorted
+        out = jnp.zeros_like(dH)
+        return out.at[pf[:, None, None], pf[None, :, None],
+                      pg[None, None, :]].add(dH)
+
+    dHgp = jnp.sum(jax.vmap(one)(src.f_sorted, src.x_sorted, tgt.f_sorted,
+                                 tgt.x_sorted, src.psorted, tgt.psorted),
+                   axis=0)
+    # normalized -> unnormalized amplitude projection along axis 0
+    # (the reference's OTlib.py:1314-1315 step, written unambiguously)
+    pdf = source.pdf.reshape(n)
+    proj = jnp.einsum("kij,k->ij", dHgp, pdf)
+    dHgp = (dHgp - proj[None, :, :]) / source.amp
+    return dHgp / nproj
+
+
 def sliced_wasserstein_plan_cost(source: Density2D, target: Density2D,
                                  nproj: int, cost, origin=(0.5, 0.5)):
     """The reference's fast 'Wplan' path (OTlib.py:1195 option 2): average
