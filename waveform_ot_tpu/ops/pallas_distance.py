@@ -168,7 +168,7 @@ def _distance_field_pallas_impl(verts, tgrid, ugrid, tpts: int, sc: int,
     return d, iclose, lam
 
 
-def distance_field_pallas(verts, tgrid, ugrid, tpts: int = 512,
+def distance_field_pallas(verts, tgrid, ugrid, tpts: int | None = None,
                           sc: int = 256,
                           interpret: bool | None = None) -> "fp_mod.DistanceField":
     """Pallas distance field with the same contract as the jnp impl.
@@ -176,13 +176,20 @@ def distance_field_pallas(verts, tgrid, ugrid, tpts: int = 512,
     Args:
       verts: (nt, 2) polyline vertices (normalized coords).
       tgrid, ugrid: uniform grid axes (linspace).
-      tpts: grid points per program (lane-axis tile).
+      tpts: grid points per program row (lane-axis tile). Default: sized so
+            one (8, tpts) block covers the whole grid when it fits in VMEM
+            (minimizes padding waste — a 79x61 grid fills 94% of an
+            (8, 640) block vs 59% of two (8, 512) blocks), capped at 1024.
       sc:   segments per inner chunk (sublane-axis tile).
       interpret: force interpreter mode (default: auto — interpret off-TPU
                  so CPU tests exercise the same kernel logic).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    cdiv = lambda a, b: -(-a // b)
+    n_pts = tgrid.shape[0] * ugrid.shape[0]
+    if tpts is None:
+        tpts = min(1024, max(128, cdiv(cdiv(n_pts, 8), 128) * 128))
     nseg = verts.shape[0] - 1
     sc = min(sc, -(-nseg // 8) * 8) if nseg < sc else sc
     d, iclose, lam = _distance_field_pallas_impl(
