@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from waveform_ot_tpu.inversion.pipeline import (
-    Targets, TraceConfig, calc_wasser_waveform, dg_scale, grid6_to_window,
+    Targets, TraceConfig, calc_wasser_waveform, grid6_to_window,
     trace_misfit,
 )
 from waveform_ot_tpu.models.ricker import (

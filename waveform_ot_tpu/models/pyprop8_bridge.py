@@ -15,7 +15,6 @@ optional dependency is installed.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from waveform_ot_tpu.ops.otpdf import Density1D
-from waveform_ot_tpu.ops.wasser import _cdf, _merge
+from waveform_ot_tpu.ops.wasser import _merge
 
 
 def barycenter_pointmass(source: Density1D, target: Density1D, weights):

@@ -21,8 +21,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from waveform_ot_tpu.ops.otpdf import Density1D, Density2D
-
 _EPS = 1e-300
 
 
