@@ -227,3 +227,60 @@ class TestHostBridge:
         f = jax.jit(lambda m: jnp.sum(host_forward_with_jacobian(
             host_fn, m, (1, 2), jnp.float64, (3, 1, 2))))
         assert float(f(jnp.ones(3))) == 6.0
+
+
+class TestJointLocCMT:
+    """9-parameter joint location + moment-tensor inversion with the
+    reference's preconditioning scheme (invopt['mscal'],
+    loc_cmt_util.py:128-131, 182)."""
+
+    def test_precon_chain_rule(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        m9 = jnp.concatenate([loc, upper_from_mxyz(mxyz)])
+        mscal = jnp.concatenate([jnp.ones(3), 1e6 * jnp.ones(6)])
+        prob2 = prob._replace(mscal=mscal)
+        opts_p = InvOptions(loc=True, cmt=True, mistype="L2", precon=True)
+        opts_n = InvOptions(loc=True, cmt=True, mistype="L2", precon=False)
+        m_pre = m9 / mscal
+        v1, g1 = loc_cmt_value_and_grad(m_pre, prob2, opts_p, cfg)
+        v2, g2 = loc_cmt_value_and_grad(m9, prob2, opts_n, cfg)
+        assert abs(float(v1) - float(v2)) < 1e-9 * max(1.0, abs(float(v2)))
+        # chain rule: d/d(m/mscal) = mscal * d/dm
+        np.testing.assert_allclose(np.asarray(g1),
+                                   np.asarray(g2 * mscal), rtol=1e-10)
+
+    def test_joint_inversion_recovers_location_and_tensor(self, setup):
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        m_true = jnp.concatenate([loc, upper_from_mxyz(mxyz)])
+        # precondition the tensor block to O(1) like the reference
+        mscal = jnp.concatenate(
+            [jnp.ones(3), jnp.full(6, float(jnp.abs(m_true[3:]).max()))])
+        prob2 = prob._replace(mscal=mscal)
+        opts = InvOptions(loc=True, cmt=True, mistype="L2", precon=True)
+        m0 = (m_true + jnp.concatenate(
+            [jnp.array([5.0, -4.0, 3.0]), 0.3 * jnp.abs(m_true[3:])])
+        ) / mscal
+        res = minimize_scipy(
+            lambda m: loc_cmt_value_and_grad(m, prob2, opts, cfg), m0,
+            options={"maxiter": 300})
+        sol = res.x * np.asarray(mscal)
+        assert np.linalg.norm(sol[:3] - np.asarray(loc)) < 1.0
+        # moment tensor recovered to a few percent (data has 0.2% noise)
+        rel = np.abs(sol[3:] - np.asarray(m_true[3:])) / np.abs(
+            np.asarray(m_true[3:])).max()
+        assert rel.max() < 0.05
+
+    def test_cmt_only_mode(self, setup):
+        # invopt: loc=False, cmt=True — location fixed at mref
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        prob2 = prob._replace(mref=loc)
+        opts = InvOptions(loc=False, cmt=True, mistype="L2")
+        m_true6 = upper_from_mxyz(mxyz)
+        m0 = m_true6 * 1.4
+        res = minimize_scipy(
+            lambda m: loc_cmt_value_and_grad(m, prob2, opts, cfg), m0)
+        # linear problem at fixed true location: recovery limited only by
+        # the data noise; small tensor components carry larger relative
+        # error, so compare on the scale of the dominant component
+        err = np.abs(res.x - np.asarray(m_true6))
+        assert err.max() < 0.05 * float(jnp.abs(m_true6).max())

@@ -90,3 +90,25 @@ class TestCalcWasserParity:
         w2, dm = ricker_value_and_grad(m, prob, cfg, impl="jnp")
         assert abs(float(w2) - ref["w2"]) <= 1e-8
         np.testing.assert_allclose(np.asarray(dm), ref["deriv"], atol=5e-7)
+
+
+class TestNoisyWavelet:
+    def test_noise_modes(self):
+        import jax.random as jr
+
+        from waveform_ot_tpu.models import ricker_wavelet, ricker_wavelet_noisy
+
+        key = jr.PRNGKey(0)
+        t0, w0 = ricker_wavelet(0.0, 1.6, 1.0)
+        t1, w1 = ricker_wavelet_noisy(key, 0.0, 1.6, 1.0, sigma_amp=0.0)
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        _, w2 = ricker_wavelet_noisy(key, 0.0, 1.6, 1.0, sigma_amp=0.01)
+        r = np.asarray(w2 - w0)
+        assert 0.0 < np.abs(r).max() < 0.1
+        _, w3 = ricker_wavelet_noisy(key, 0.0, 1.6, 1.0, sigma_amp=0.01,
+                                     sigma_cor=0.3)
+        r3 = np.asarray(w3 - w0)
+        assert abs(np.std(r3) - 0.01) < 2e-3  # GP noise scaled to std
+        # correlated noise: neighboring samples strongly correlated
+        c = np.corrcoef(r3[:-1], r3[1:])[0, 1]
+        assert c > 0.9

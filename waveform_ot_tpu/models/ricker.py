@@ -59,6 +59,30 @@ def ricker_wavelet(tpert, amp, f, trange=(-2.0, 2.0), length: float = 4.0,
     return tp + tpert, wp
 
 
+def ricker_wavelet_noisy(key, tpert, amp, f, trange=(-2.0, 2.0),
+                         sigma_amp: float = 0.0, sigma_cor: float = 0.0,
+                         length: float = 4.0, dt: float = 4.0 / 128.0):
+    """Double Ricker with the reference's noise options
+    (ricker_util.py:73-80): white noise scaled by sigma_amp*max|w| when
+    sigma_cor == 0, otherwise GP-correlated noise with std sigma_amp
+    (drawn with jax.random instead of the reference's global numpy seed).
+    """
+    import jax
+    import jax.random as jrandom
+
+    from waveform_ot_tpu.models.gp_noise import correlated_noise
+
+    t, w = ricker_wavelet(tpert, amp, f, trange=trange, length=length, dt=dt)
+    if sigma_amp == 0.0:
+        return t, w
+    if sigma_cor == 0.0:
+        noise = sigma_amp * jnp.max(jnp.abs(w)) * jrandom.normal(
+            key, w.shape, w.dtype)
+    else:
+        noise = correlated_noise(key, w.shape[0], sigma_amp, sigma_cor)
+    return t, w + noise
+
+
 def ricker_wavelet_with_jacobian(tpert, amp, f, trange=(-2.0, 2.0),
                                  length: float = 4.0, dt: float = 4.0 / 128.0):
     """(t, w, dw/dm) with the reference's analytic jacobian conventions
