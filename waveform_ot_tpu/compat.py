@@ -164,8 +164,7 @@ class waveformFP:
         self.tant = float(self._win.tantheta)
         self.theta = float(np.rad2deg(np.arctan(self.tant)))
         self._spec = FingerprintSpec(nu=self.nug, ntg=self.ntg)
-        self._t = jnp.asarray(t, jnp.float64) if jnp.asarray(t).dtype \
-            == jnp.float64 else jnp.asarray(t)
+        self._t = jnp.asarray(t)
         self._w = jnp.asarray(w)
         self._fpbox = None if fpgrid is None else tuple(fpgrid[0:4])
         delt = self.tant * (t1 - t0)

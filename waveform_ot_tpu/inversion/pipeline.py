@@ -143,22 +143,22 @@ def calc_wasser_waveform(t, w, win: Window, targets: Targets,
     """
     cfg_notr = dataclasses.replace(cfg, transform=False)
 
-    def wt_fn(w_, s_):
-        return trace_misfit(t, w_, win, targets, cfg_notr, tshift=s_,
-                            impl=impl)[0]
-
-    def wu_fn(w_):
-        return trace_misfit(t, w_, win, targets, cfg_notr, impl=impl)[1]
-
     if not deriv:
         wt, wu = trace_misfit(t, w, win, targets, cfg_notr, impl=impl)
         if returnmarg:
             return [wt, wu]
         return (wt + wu) / 2.0
 
+    # one shared forward (the fingerprint is the expensive part), two
+    # backward passes — one per marginal
     zero = jnp.zeros((), w.dtype)
-    wt, (drt, dgt) = jax.value_and_grad(wt_fn, argnums=(0, 1))(w, zero)
-    wu, dru = jax.value_and_grad(wu_fn)(w)
+    (wt, wu), vjp_fn = jax.vjp(
+        lambda w_, s_: trace_misfit(t, w_, win, targets, cfg_notr,
+                                    tshift=s_, impl=impl), w, zero)
+    one = jnp.ones((), wt.dtype)
+    zo = jnp.zeros((), wt.dtype)
+    drt, dgt = vjp_fn((one, zo))
+    dru, _ = vjp_fn((zo, one))
     s = dg_scale(win, cfg)
     if returnmarg:
         return [wt, wu], [drt, dru], [dgt * s, jnp.zeros_like(dgt)]
