@@ -259,3 +259,31 @@ class TestMergePaths:
         monkeypatch.setattr(W, "_RANKED_MERGE_MAX", 0)
         v2 = float(W.wasserstein_1d(f, x, g, x + 0.05, 2))
         assert v1 == v2
+
+
+class TestPlanRecovery:
+    def test_linprog_plan_marginals(self, rng):
+        from waveform_ot_tpu.ops.validate import linprog_plan
+
+        f, xf, g, xg = random_problem(rng, nf=7, ng=7)
+        H = linprog_plan(np.array(f), np.array(xf), np.array(g),
+                         np.array(xg), p=2)
+        np.testing.assert_allclose(H.sum(1), np.array(f) / np.sum(f),
+                                   atol=1e-8)
+        np.testing.assert_allclose(H.sum(0), np.array(g) / np.sum(g),
+                                   atol=1e-8)
+
+    def test_find_plan_from_known_w(self, rng):
+        # recover a feasible plan consistent with the known optimal W
+        # (reference wasser_find_optplan, OTlib.py:876-904)
+        from waveform_ot_tpu.ops.validate import find_plan_from_w
+
+        f, xf, g, xg = random_problem(rng, nf=6, ng=6)
+        w2 = float(wasserstein_1d(f, xf, g, xg, 2))
+        ok, H = find_plan_from_w(np.array(f), np.array(xf), np.array(g),
+                                 np.array(xg), w2, p=2)
+        assert ok
+        cost = (np.array(xf)[:, None] - np.array(xg)[None, :]) ** 2
+        assert abs(float((H * cost).sum()) - w2) < 1e-6
+        np.testing.assert_allclose(H.sum(1), np.array(f) / np.sum(f),
+                                   atol=1e-6)
