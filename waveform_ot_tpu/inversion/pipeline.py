@@ -172,3 +172,18 @@ def grid6_to_window(grid6, theta: float = 45.0, tantheta: float | None = None,
     win = make_window(t0, t1, u0, u1, theta=theta, tantheta=tantheta,
                       dtype=dtype)
     return win, FingerprintSpec(nu=int(nu), ntg=int(ntg))
+
+
+def auto_grid6(t, wave, pad: float = 0.2, nu_factor: float = 1.3):
+    """Auto window like BuildOTobjfromWaveform(norm=True)
+    (ricker_util.py:233-240): amplitude limits padded by ``pad``*range,
+    time limits from the waveform, Nu = int(nu_factor * len(wave)),
+    Ntg = len(wave). Host-side (shapes must be static)."""
+    import numpy as np
+
+    wave_np = np.asarray(wave)
+    t_np = np.asarray(t)
+    du = wave_np.max() - wave_np.min()
+    return (float(t_np.min()), float(t_np.max()),
+            float(wave_np.min() - pad * du), float(wave_np.max() + pad * du),
+            int(nu_factor * len(wave_np)), len(wave_np))
