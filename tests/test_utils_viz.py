@@ -92,6 +92,8 @@ class TestViz:
                            filename_prefix=str(tmp_path / "m"))
         viz.plot_misfit_trace([1.0, 0.1, 0.01],
                               filename=tmp_path / "tr.png")
+        viz.plot_transport_frames(src, tgt, nframes=3,
+                                  filename=tmp_path / "frames.png")
         s = rng.standard_normal((2, 3, 30))
         viz.plot_seismograms(s, np.arange(30.0),
                              filename=tmp_path / "seis.png")

@@ -141,6 +141,29 @@ def plot_marginals(pdf2d, tgrid, ugrid, filename_prefix=None):
     return figs
 
 
+def plot_transport_frames(source, target, nframes: int = 5, filename=None):
+    """Displacement-interpolation frames between two 1-D densities
+    (reference plot_optimal_transform_frames, OTlib.py:1380-1424)."""
+    plt = _plt()
+    from waveform_ot_tpu.ops.barycenter import barycenter_continuous
+
+    import numpy as _np
+
+    w = _np.linspace(0.0, 1.0, nframes)
+    path = _np.asarray(barycenter_continuous(source, target, w,
+                                             npoints=4000))
+    fig, axs = plt.subplots(nframes, 1, figsize=(8, 1.6 * nframes),
+                            sharex=True, squeeze=False)
+    for k in range(nframes):
+        x, p = path[k, 0], path[k, 1]
+        axs[k, 0].fill_between(x, 0, p, alpha=0.6)
+        axs[k, 0].set_ylabel(f"w={w[k]:.2f}")
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename)
+    return fig
+
+
 def plot_misfit_trace(misfits, second=None, log: bool = True,
                       title="misfit vs iteration", filename=None):
     """Convergence traces (reference plotmisfit, ricker_util.py:428-454)."""
