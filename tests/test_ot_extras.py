@@ -197,6 +197,69 @@ class TestSlicedPlanJacobian:
             np.testing.assert_allclose(np.asarray(dH[k]), fd, atol=5e-6)
 
 
+class TestDistfuncDispatch:
+    """The reference's non-string distfunc forms (OTlib.py:165-185,574-594):
+    precomputed cost array, callable, tuple; plus the TPU one-hot gather."""
+
+    @staticmethod
+    def _pair(rng, n=9):
+        f = rng.random(n) + 0.05
+        g = rng.random(n) + 0.05
+        x = np.sort(rng.random(n))
+        y = np.sort(rng.random(n))
+        return f, x, g, y
+
+    def test_cost_array_matches_closed_form(self, rng):
+        from waveform_ot_tpu.ops import make_density_1d
+        from waveform_ot_tpu.ops.wasser import wasser
+
+        f, x, g, y = self._pair(rng)
+        src = make_density_1d(jnp.array(f), jnp.array(x))
+        tgt = make_density_1d(jnp.array(g), jnp.array(y))
+        cost = (x[:, None] - y[None, :]) ** 2
+        w2, dw2, dt2 = wasser(src, tgt, "W2", derivatives=True)
+        wf, dwf, dtf = wasser(src, tgt, cost, derivatives=True)
+        assert abs(float(wf) - float(w2)) <= 1e-12
+        np.testing.assert_allclose(np.asarray(dwf), np.asarray(dw2),
+                                   atol=1e-12)
+        assert dtf == 0.0  # reference returns 0 position deriv (OTlib.py:716)
+
+    def test_callable_and_tuple_forms(self, rng):
+        from waveform_ot_tpu.ops import make_density_1d
+        from waveform_ot_tpu.ops.wasser import wasser
+
+        f, x, g, y = self._pair(rng)
+        src = make_density_1d(jnp.array(f), jnp.array(x))
+        tgt = make_density_1d(jnp.array(g), jnp.array(y))
+        cost = np.abs(x[:, None] - y[None, :])
+        (w_arr,) = wasser(src, tgt, cost)
+        (w_fn,) = wasser(src, tgt, lambda i, j: abs(x[i] - y[j]))
+        (w_tup,) = wasser(src, tgt, (src, tgt, cost))
+        assert abs(float(w_fn) - float(w_arr)) <= 1e-12
+        assert abs(float(w_tup) - float(w_arr)) <= 1e-12
+
+    def test_bad_shape_raises(self, rng):
+        from waveform_ot_tpu.ops import errors, make_density_1d
+        from waveform_ot_tpu.ops.wasser import wasser
+
+        f, x, g, y = self._pair(rng)
+        src = make_density_1d(jnp.array(f), jnp.array(x))
+        tgt = make_density_1d(jnp.array(g), jnp.array(y))
+        with pytest.raises(errors.DistfuncShapeError):
+            wasser(src, tgt, np.zeros((3, 4)))
+
+    def test_onehot_gather_bit_identical(self, rng):
+        from waveform_ot_tpu.ops.wasser import wasserstein_1d_cost
+
+        f, x, g, y = self._pair(rng, n=12)
+        cost = jnp.asarray((x[:, None] - y[None, :]) ** 2)
+        w_take = wasserstein_1d_cost(jnp.array(f), jnp.array(g), cost,
+                                     gather="take")
+        w_hot = wasserstein_1d_cost(jnp.array(f), jnp.array(g), cost,
+                                    gather="onehot")
+        assert float(w_take) == float(w_hot)  # bit-exact (HIGHEST precision)
+
+
 class TestOptionalBridges:
     def test_pot_raises_without_library(self, rng):
         from waveform_ot_tpu.ops import errors

@@ -58,6 +58,21 @@ class TestWasserParity:
                               jnp.array(y))
         np.testing.assert_allclose(np.asarray(H), Hr, atol=1e-12)
 
+    def test_transport_plan_jacobian(self, reference_libs, problems):
+        # dH/df vs the reference's (n, n, n) DerivH assembly
+        # (OTlib.py:730-740); the reference derivative path implicitly
+        # assumes n_src == n_tgt, so equal-length problems only.
+        from waveform_ot_tpu.ops import transport_plan_jacobian
+
+        OT = reference_libs["OTlib"]
+        for f, x, g, y in problems:
+            out = OT.wasser(OT.OTpdf((f, x)), OT.OTpdf((g, y)), "W2",
+                            derivatives=True, returnplan=True)
+            dHr = out[-1]
+            dH = transport_plan_jacobian(jnp.array(f), jnp.array(x),
+                                         jnp.array(g), jnp.array(y))
+            np.testing.assert_allclose(np.asarray(dH), dHr, atol=1e-10)
+
 
 class TestMarginalParity:
     def test_marg_wasserstein(self, reference_libs, rng):
@@ -116,6 +131,68 @@ class TestSlicedParity:
         w, dw = sliced_wasserstein(src, tgt, nproj, "W2", derivatives=True)
         assert abs(float(w) - outr[0]) <= 1e-10
         np.testing.assert_allclose(np.asarray(dw), outr[1], atol=1e-10)
+
+    def test_sliced_plan_jacobian(self, reference_libs, rng):
+        # dHgp vs the reference's per-slice scatter through psorted +
+        # normalization projection (OTlib.py:1265-1266, 1314-1315).
+        from waveform_ot_tpu.ops import make_density_2d
+        from waveform_ot_tpu.ops.sliced import sliced_plan_jacobian
+
+        OT = reference_libs["OTlib"]
+        nx, ny = 4, 5
+        fs = rng.random((nx, ny)) + 0.05
+        gs = rng.random((nx, ny)) + 0.05
+        xx, yy = np.meshgrid(np.linspace(0, 1, ny), np.linspace(0, 1, nx))
+        pos = np.dstack([xx, yy])
+        nproj = 5
+        outr = OT.SlicedWasserstein(OT.OTpdf((fs, pos)), OT.OTpdf((gs, pos)),
+                                    nproj, distfunc="W2", derivatives=True,
+                                    returnplan=True)
+        dHgp_r = outr[-1]
+        dHgp = sliced_plan_jacobian(
+            make_density_2d(jnp.array(fs), jnp.array(pos)),
+            make_density_2d(jnp.array(gs), jnp.array(pos)), nproj)
+        np.testing.assert_allclose(np.asarray(dHgp), dHgp_r, atol=1e-10)
+        # and the average plan itself
+        from waveform_ot_tpu.ops import sliced_wasserstein as sw
+
+        src = make_density_2d(jnp.array(fs), jnp.array(pos))
+        tgt = make_density_2d(jnp.array(gs), jnp.array(pos))
+        out = sw(src, tgt, nproj, "W2", derivatives=True, returnplan=True)
+        # Reference quirk: on the returnplan path it returns the SUM of the
+        # per-slice plans (OTlib.py:1311-1312 divides only in the calcWplan
+        # branch at :1292) while its dHgp IS divided by Nproj (:1316) — the
+        # rebuild returns the average for both, consistent with dHgp and the
+        # reference's own docstring, so compare x nproj here.
+        np.testing.assert_allclose(np.asarray(out[-1]) * nproj, outr[-2],
+                                   atol=1e-10)
+
+
+class TestBarycenterParity:
+    def test_pointmass_endpoints(self, reference_libs, rng):
+        # include_endpoints=True mirrors barypath_pointmass exactly,
+        # including the unconditional first/last substitution
+        # (OTlib.py:779-786).
+        from waveform_ot_tpu.ops import make_density_1d
+        from waveform_ot_tpu.ops.barycenter import barycenter_pointmass
+
+        OT = reference_libs["OTlib"]
+        n = 8
+        f = rng.random(n) + 0.05
+        g = rng.random(n) + 0.05
+        x = np.sort(rng.random(n))
+        y = np.sort(rng.random(n))
+        weights = [0.0, 0.25, 0.5, 0.75, 1.0]
+        amp_r, x_r = OT.barypath_pointmass(OT.OTpdf((f, x)), OT.OTpdf((g, y)),
+                                           weights)
+        amps, xs = barycenter_pointmass(
+            make_density_1d(jnp.array(f), jnp.array(x)),
+            make_density_1d(jnp.array(g), jnp.array(y)),
+            weights, include_endpoints=True)
+        assert len(amps) == len(amp_r) and len(xs) == len(x_r)
+        for a, ar, xv, xr in zip(amps, amp_r, xs, x_r):
+            np.testing.assert_allclose(np.asarray(a), ar, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(xv), xr, atol=1e-12)
 
 
 class TestSinkhornParity:
@@ -255,3 +332,70 @@ class TestLocPipelineParity:
                 np.testing.assert_allclose(np.asarray(dr[1]), drr[1],
                                            atol=1e-9)
                 assert abs(float(dgM[0]) - dgr[0]) <= 1e-9
+
+
+@pytest.fixture(scope="session")
+def reference_loc_cmt(reference_libs):
+    """The reference loc_cmt_util module, imported with pyprop8 stubbed.
+
+    pyprop8 is not installable in this sandbox (no network); loc_cmt_util
+    imports it at module level but drv_rpd2xyz itself is pure numpy, so a
+    fake module in sys.modules lets the real reference function be tested.
+    """
+    import sys
+    import types
+
+    if "pyprop8" not in sys.modules:
+        pp = types.ModuleType("pyprop8")
+        utils = types.ModuleType("pyprop8.utils")
+        for name in ("rtf2xyz", "make_moment_tensor", "stf_trapezoidal",
+                     "clp_filter"):
+            setattr(utils, name, None)
+        pp.utils = utils
+        sys.modules["pyprop8"] = pp
+        sys.modules["pyprop8.utils"] = utils
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SyntaxWarning)
+        from libs import loc_cmt_util
+    return loc_cmt_util
+
+
+class TestDrvRpd2xyzParity:
+    """Live parity of the pyprop8 Jacobian reorder/rotation chain
+    (_drv_to_cartesian) vs the reference drv_rpd2xyz
+    (loc_cmt_util.py:360-383) — the diagorder moment-tensor reorder, the
+    depth sign flip and the spherical->cartesian receiver-angle chain —
+    exercised on synthetic derivative arrays since pyprop8 itself cannot be
+    installed here (COVERAGE.md)."""
+
+    @staticmethod
+    def _mock_inputs(rng, nr=5, nc=3, nt=13, spherical=True, mt=True):
+        import types
+
+        nd = (3 if spherical else 3) + (6 if mt else 0)
+        deriv = rng.standard_normal((nr, nd, nc, nt))
+        if spherical:
+            drv = types.SimpleNamespace(i_r=0, i_phi=1, i_z=2, i_mt=3,
+                                        moment_tensor=mt)
+        else:
+            drv = types.SimpleNamespace(i_x=0, i_y=1, i_z=2, i_mt=3,
+                                        moment_tensor=mt)
+        stations = types.SimpleNamespace(
+            pp=rng.uniform(0, 2 * np.pi, nr),
+            rr=rng.uniform(10.0, 80.0, nr))
+        return drv, deriv, stations
+
+    @pytest.mark.parametrize("geometry", ["spherical", "cartesian"])
+    @pytest.mark.parametrize("mt", [True, False])
+    def test_matches_reference(self, reference_loc_cmt, rng, geometry, mt):
+        from waveform_ot_tpu.models.pyprop8_bridge import _drv_to_cartesian
+
+        drv, deriv, stations = self._mock_inputs(
+            rng, spherical=(geometry == "spherical"), mt=mt)
+        ref = reference_loc_cmt.drv_rpd2xyz(drv, deriv, stations,
+                                            geometry=geometry)
+        got = _drv_to_cartesian(drv, deriv, stations, geometry=geometry)
+        assert got.shape == ref.shape == ((9 if mt else 3),) + deriv[:, 0].shape
+        np.testing.assert_allclose(got, ref, atol=1e-12)

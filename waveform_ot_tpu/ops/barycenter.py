@@ -17,19 +17,33 @@ from waveform_ot_tpu.ops.otpdf import Density1D
 from waveform_ot_tpu.ops.wasser import _merge
 
 
-def barycenter_pointmass(source: Density1D, target: Density1D, weights):
+def barycenter_pointmass(source: Density1D, target: Density1D, weights,
+                         include_endpoints: bool = False):
     """Displacement interpolation of point masses (OTlib.py:743-786).
 
     Returns (positions (k, m), masses (m,)): for each weight w the support
-    moves to (1-w)*x_f[indf] + w*x_g[indg] carrying mass dtk. The endpoint
-    conventions of the reference (returning the original pdfs at w=0,1) are
-    a plotting convenience left to callers.
+    moves to (1-w)*x_f[indf] + w*x_g[indg] carrying mass dtk.
+
+    With ``include_endpoints=True``, mirrors the reference's return
+    structure exactly (OTlib.py:777-786): a pair of Python lists
+    (amplitudes, positions), with the FIRST and LAST entries replaced
+    unconditionally by the original (source.pdf, source.x) and
+    (target.pdf, target.x) — the reference substitutes the endpoints
+    whatever the first/last weights are, so entries are ragged (length n at
+    the ends, merged length m inside), hence lists rather than one array.
     """
     _, _, indf, indg, dtk = _merge(source.cdf, target.cdf)
     xft = source.x[indf]
     xgt = target.x[indg]
     w = jnp.asarray(weights)[:, None]
-    return (1.0 - w) * xft[None, :] + w * xgt[None, :], dtk
+    xs = (1.0 - w) * xft[None, :] + w * xgt[None, :]
+    if not include_endpoints:
+        return xs, dtk
+    amps = [dtk] * xs.shape[0]
+    xlist = [xs[i] for i in range(xs.shape[0])]
+    amps[0], xlist[0] = source.pdf, source.x
+    amps[-1], xlist[-1] = target.pdf, target.x
+    return amps, xlist
 
 
 def barycenter_continuous(source: Density1D, target: Density1D, weights,

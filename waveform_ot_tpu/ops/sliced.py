@@ -99,7 +99,11 @@ def sliced_wasserstein(source: Density2D, target: Density2D, nproj: int,
 
     dwsliced is (nx, ny) w.r.t. unnormalized source amplitudes; H is the
     average transport plan over slices scattered back to the unsorted
-    ordering (the reference's Hgp accumulation, OTlib.py:1268).
+    ordering (the reference's Hgp accumulation, OTlib.py:1268). Note the
+    reference's returnplan path returns the SUM of per-slice plans
+    (OTlib.py:1311-1312; it divides only in the calcWplan branch at :1292)
+    while its dHgp is divided by Nproj (:1316); here both are averages,
+    matching the reference's documented intent and its own dHgp scaling.
     """
     p = 1 if distfunc == "W1" else 2
     tgt = project_sliced(target, nproj, origin)

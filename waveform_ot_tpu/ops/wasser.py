@@ -320,15 +320,47 @@ def wasserstein_1d_autodiff(f, xf, g, xg, p: int = 2):
 # ---------------------------------------------------------------------------
 
 
-def wasser(source: Density1D, target: Density1D, distfunc: str = "W12",
+def wasser(source: Density1D, target: Density1D, distfunc="W12",
            derivatives: bool = False):
     """API-parity wrapper mirroring the reference ``wasser`` signature.
 
+    ``distfunc`` accepts, like the reference dispatch (OTlib.py:165-185,
+    574-594):
+      * 'W1' / 'W2' / 'W12' — closed-form solver(s);
+      * an (n_f, n_g) array of precomputed pairwise costs;
+      * a callable ``cost(i, j) -> float`` over (source, target) indices
+        (the reference's user distance function, OTlib.py:203-214),
+        materialized once into the cost array;
+      * a tuple whose last element is the cost array (the reference's
+        sliced-Wasserstein form, OTlib.py:627-633).
+
     Returns, like OTlib.py:596-741 (for distfunc in {'W1','W2','W12'}):
       [W1(, dW1/df, dW1/dt)][, W2(, dW2/df, dW2/dt)]
-    where dW/df is w.r.t. unnormalized source amplitudes and dW/dt is the
-    rigid-translation derivative of the source support.
+    and for the cost-array/callable forms [Wf(, dWf/df, 0.0)] — the
+    reference returns a zero position derivative on this path
+    (OTlib.py:716) because p is unknown for a user cost.
     """
+    if not isinstance(distfunc, str):
+        import numpy as np
+
+        if isinstance(distfunc, tuple):
+            distfunc = distfunc[-1]
+        if callable(distfunc):
+            fn = distfunc
+            nf, ng = source.pdf.shape[0], target.pdf.shape[0]
+            distfunc = np.array([[fn(i, j) for j in range(ng)]
+                                 for i in range(nf)])
+        cost = jnp.asarray(distfunc)
+        if cost.shape != (source.pdf.shape[0], target.pdf.shape[0]):
+            raise errors.DistfuncShapeError(
+                f"cost shape {cost.shape} != "
+                f"({source.pdf.shape[0]}, {target.pdf.shape[0]})")
+        f = source.pdf * source.amp
+        g = target.pdf * target.amp
+        if derivatives:
+            w, dw = jax.value_and_grad(wasserstein_1d_cost)(f, g, cost)
+            return [w, dw, 0.0]
+        return [wasserstein_1d_cost(f, g, cost)]
     ps: list[int] = []
     if distfunc in ("W1", "W12"):
         ps.append(1)
@@ -349,7 +381,7 @@ def wasser(source: Density1D, target: Density1D, distfunc: str = "W12",
     return out
 
 
-def wasserstein_1d_cost(f, g, cost, indexer=None):
+def wasserstein_1d_cost(f, g, cost, indexer=None, gather: str | None = None):
     """W with a user-supplied cost array (reference dfunc path, OTlib.py:708-716).
 
     ``cost`` is an (n_f, n_g) array of precomputed pairwise costs;
@@ -359,7 +391,17 @@ def wasserstein_1d_cost(f, g, cost, indexer=None):
     ``indexer`` optionally remaps (indf, indg) into cost (used by the sliced
     Wasserstein to index an un-projected 2-D cost matrix through per-slice
     sort permutations, reference OTlib.py:574-594).
+
+    ``gather`` selects how the merged-support cost row is read:
+      * 'take' — fancy-indexing gather ``cost[indf, indg]``. Cheap on CPU,
+        but dynamic 2-D gathers lower to multi-ms scalar kernels on TPU.
+      * 'onehot' — two one-hot matmuls on the MXU with precision=HIGHEST
+        (bit-exact for 0/1 operands); the fast form on TPU.
+      * None (default) — 'onehot' when tracing for a TPU backend, else
+        'take'.
     """
+    if gather is None:
+        gather = "onehot" if jax.default_backend() == "tpu" else "take"
 
     def value(f, g):
         _, cf = _cdf(f)
@@ -369,10 +411,17 @@ def wasserstein_1d_cost(f, g, cost, indexer=None):
         indf = jax.lax.stop_gradient(jnp.searchsorted(cf, tk, side="left"))
         indg = jax.lax.stop_gradient(jnp.searchsorted(cg, tk, side="left"))
         dtk = jnp.diff(tk, prepend=jnp.zeros((1,), tk.dtype))
-        if indexer is None:
-            dist = cost[indf, indg]
+        if indexer is not None:
+            indf = indexer[0][indf]
+            indg = indexer[1][indg]
+        if gather == "onehot":
+            hot_f = jax.nn.one_hot(indf, cost.shape[0], dtype=cost.dtype)
+            hot_g = jax.nn.one_hot(indg, cost.shape[1], dtype=cost.dtype)
+            rows = jnp.matmul(hot_f, cost,
+                              precision=jax.lax.Precision.HIGHEST)  # (m, ng)
+            dist = jnp.sum(rows * hot_g, axis=1)
         else:
-            dist = cost[indexer[0][indf], indexer[1][indg]]
+            dist = cost[indf, indg]
         return jnp.dot(dist, dtk)
 
     return value(f, g)
