@@ -1,0 +1,80 @@
+"""TPU x64 spot check (SURVEY.md section 7 hard part #2).
+
+The parity suite runs on CPU x64 (conftest). This test additionally runs
+the Ricker misfit+gradient pipeline in float64 ON THE TPU in a fresh
+subprocess (the conftest's forced-CPU env must not leak in) and checks it
+against the in-process CPU x64 result. Skipped when no TPU is reachable.
+
+Measured once at authoring time: TPU x64 and CPU x64 agree to ~1e-12
+relative on both value and gradient for this configuration; the assert
+uses 1e-10. The f32 production-path deviation is measured separately by
+bench.py (see BASELINE.md).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_PIPELINE = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+{platform_setup}
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+import jax.numpy as jnp
+from waveform_ot_tpu.inversion import (
+    TraceConfig, build_target, make_ricker_problem, ricker_value_and_grad)
+from waveform_ot_tpu.inversion.pipeline import grid6_to_window
+from waveform_ot_tpu.models import ricker_wavelet
+
+trange = (-2.0, 7.0)
+tobs, wobs = ricker_wavelet(0.0, 1.6, 1.0, trange=trange)
+rng = np.random.default_rng(42)
+wobs = wobs + 0.005 * float(jnp.max(jnp.abs(wobs))) * jnp.asarray(
+    rng.standard_normal(wobs.shape), wobs.dtype)
+grid6 = (-2.0, 7.0, -2.0, 2.6, 24, 96)
+win, _ = grid6_to_window(grid6)
+cfg = TraceConfig(nu=24, ntg=96, lambdav=0.03, q=None, p=2, transform=True)
+targets = build_target(tobs, wobs, win, cfg, impl="jnp")
+prob, _ = make_ricker_problem(targets, grid6, trange=trange, alpha=0.5,
+                              lambdav=0.03)
+m = jnp.array([0.7, 1.1, 1.3], jnp.float64)
+v, g = jax.jit(lambda mm: ricker_value_and_grad(mm, prob, cfg, impl="jnp"))(m)
+print(json.dumps({{"backend": jax.default_backend(), "v": float(v),
+                   "g": [float(x) for x in g]}}))
+"""
+
+
+def _run_pipeline(platform_setup: str, env) -> dict:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _PIPELINE.format(repo=repo, platform_setup=platform_setup)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.tpu_x64
+def test_ricker_pipeline_x64_on_tpu_matches_cpu():
+    # child env must NOT inherit the conftest's forced-CPU settings
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    try:
+        tpu = _run_pipeline("", env)
+    except (RuntimeError, subprocess.TimeoutExpired) as e:
+        pytest.skip(f"TPU backend unavailable for x64 spot check: {e}")
+    if tpu["backend"] != "tpu":
+        pytest.skip(f"no TPU in this environment (got {tpu['backend']})")
+
+    cpu = _run_pipeline('jax.config.update("jax_platforms", "cpu")',
+                        dict(os.environ))
+    assert cpu["backend"] == "cpu"
+    assert abs(tpu["v"] - cpu["v"]) <= 1e-10 * max(1.0, abs(cpu["v"]))
+    np.testing.assert_allclose(np.asarray(tpu["g"]), np.asarray(cpu["g"]),
+                               rtol=0, atol=1e-10)

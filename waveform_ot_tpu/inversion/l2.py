@@ -8,6 +8,7 @@ comparison figures.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -34,4 +35,4 @@ def ls_misfit(tref, wref, tpred, wpred, nt: int | None = None):
     """Sum of squared residuals on the union grid (reference LSmisfit)."""
     w1, w2, _ = window_union(tref, wref, tpred, wpred, nt=nt)
     r = w1 - w2
-    return jnp.dot(r, r)
+    return jnp.dot(r, r, precision=jax.lax.Precision.HIGHEST)

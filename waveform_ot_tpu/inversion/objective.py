@@ -98,6 +98,8 @@ def ricker_objective(m, prob: RickerProblem, cfg: TraceConfig, impl="auto"):
     dg = a * dgM[0] + (1.0 - a) * dgM[1]
     drt = dr[0] * dundu
     dru = dr[1] * dundu
-    deriv = a * (dudm @ drt) + (1.0 - a) * (dudm @ dru)
+    hp = jax.lax.Precision.HIGHEST  # tiny (3, nt) chain matmuls: avoid
+    deriv = (a * jnp.matmul(dudm, drt, precision=hp)  # TPU bf16 default
+             + (1.0 - a) * jnp.matmul(dudm, dru, precision=hp))
     deriv = deriv.at[0].set(dg)
     return w2, deriv

@@ -73,11 +73,13 @@ class InversionTrace:
 
     def misfit_per_iterate(self) -> np.ndarray:
         """Misfit at each accepted iterate (reference findres,
-        ricker_util.py:413-426, without the O(n^2) model matching)."""
-        out = []
-        for it in self.iterates:
-            for m, w in zip(self.models, self.misfits):
-                if m.shape == it.shape and np.array_equal(m, it):
-                    out.append(w)
-                    break
+        ricker_util.py:413-426). The evaluation log is indexed once by
+        model bytes (first occurrence wins, matching the reference's
+        first-match scan), so lookup is O(evals + iterates) rather than the
+        reference's O(evals * iterates) rescans."""
+        index: dict = {}
+        for m, w in zip(self.models, self.misfits):
+            index.setdefault((m.shape, m.tobytes()), w)
+        out = [index[key] for it in self.iterates
+               if (key := (it.shape, it.tobytes())) in index]
         return np.asarray(out)

@@ -67,7 +67,8 @@ def host_forward_with_jacobian(host_fn: Callable, m, out_shape, out_dtype,
 
     def fwd_bwd(jac, ct):
         nm = jac.shape[0]
-        return (jnp.tensordot(jac.reshape(nm, -1), ct.ravel(), axes=1),)
+        return (jnp.tensordot(jac.reshape(nm, -1), ct.ravel(), axes=1,
+                              precision=jax.lax.Precision.HIGHEST),)
 
     fwd.defvjp(fwd_fwd, fwd_bwd)
     return fwd(m)

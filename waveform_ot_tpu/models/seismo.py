@@ -130,7 +130,10 @@ def synthetic_seismograms(x, y, z, mxyz, stations: StationSet, nt: int = 61,
     dz = jnp.broadcast_to(z, dx.shape)
     r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     gam = jnp.stack([dx, dy, dz], axis=-1) / r[:, None]     # (nr, 3)
-    mg = gam @ mxyz                                         # (nr, 3)
+    # HIGHEST: (nr,3)@(3,3) is tiny; default f32 matmul is bf16 on TPU and
+    # biases the forward (and hence the misfit gradient) at ~1e-3 relative
+    mg = jnp.matmul(gam, mxyz,
+                    precision=jax.lax.Precision.HIGHEST)    # (nr, 3)
     gmg = jnp.sum(mg * gam, axis=-1)                        # (nr,)
     four_pi_rho = 4.0 * jnp.pi * medium.rho
     amp_p = gmg / (four_pi_rho * medium.vp ** 3 * r)        # (nr,)
@@ -163,6 +166,7 @@ def moment_tensor_ls(xyz, stations: StationSet, seis_obs, nt: int = 61,
                                          medium=medium, fc=fc)[1]
     basis = jnp.eye(6, dtype=jnp.asarray(seis_obs).dtype)
     G = jax.vmap(lambda e: forward(e).ravel())(basis)       # (6, nr*3*nt)
-    gtd = G @ seis_obs.ravel()
-    gtg = G @ G.T
+    hp = jax.lax.Precision.HIGHEST
+    gtd = jnp.matmul(G, seis_obs.ravel(), precision=hp)
+    gtg = jnp.matmul(G, G.T, precision=hp)
     return jnp.linalg.solve(gtg, gtd)

@@ -239,7 +239,8 @@ def _distance_field_scan(verts, tgrid, ugrid, chunk: int = 16) -> DistanceField:
                          lam.reshape(shape))
 
 
-def distance_field(verts, tgrid, ugrid, impl: str = "auto") -> DistanceField:
+def distance_field(verts, tgrid, ugrid, impl: str = "auto",
+                   chunk: int = 16) -> DistanceField:
     """Nearest distance from every grid point to the waveform polyline.
 
     Args:
@@ -250,13 +251,21 @@ def distance_field(verts, tgrid, ugrid, impl: str = "auto") -> DistanceField:
              'xla'    — chunked lax.scan, bounded memory, pure XLA;
              'pallas' — the Pallas TPU kernel (ops/pallas_distance.py);
              'auto'   — pallas on TPU, jnp otherwise.
+      chunk: segment-chunk size of the 'xla' scan. Measured on v5e (f32,
+             single field inside one jit): chunk 16-32 is the plateau for
+             both reference workloads — 80x512 grid x 511 segs:
+             0.029-0.035 ms (pallas 0.031, jnp 0.039); 79x61 grid x 60
+             segs: 0.029 ms at 16 (pallas 0.023, jnp 0.031). Use 'xla'
+             when the (Ngrid, Nseg) jnp temporary would blow HBM (it peaks
+             at Ngrid*chunk instead); 'pallas' is fastest overall, and the
+             jnp oracle remains competitive whenever its temporary fits.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if impl == "jnp":
         return _distance_field_jnp(verts, tgrid, ugrid)
     if impl == "xla":
-        return _distance_field_scan(verts, tgrid, ugrid)
+        return _distance_field_scan(verts, tgrid, ugrid, chunk=chunk)
     if impl == "pallas":
         from waveform_ot_tpu.ops import pallas_distance
 

@@ -29,6 +29,21 @@ except ImportError:  # pragma: no cover - environment without skfmm
     HAVE_SKFMM = False
 
 
+def signed_indicator(t, w, tgrid, ugrid):
+    """The FMM seed field phi: +1 above the grid-interpolated waveform,
+    -1 on/below (FingerprintLib.py:142-146). Pure NumPy — also used by
+    viz.plot_phi, so it works without scikit-fmm installed."""
+    t = np.asarray(t)
+    w = np.asarray(w)
+    tgrid = np.asarray(tgrid)
+    ugrid = np.asarray(ugrid)
+    phi = -np.ones((len(ugrid), len(tgrid)))
+    wi = np.interp(tgrid, t, w)
+    _, Yn = np.meshgrid(tgrid, ugrid)
+    phi[Yn > wi] = 1.0
+    return phi
+
+
 def distance_field_fmm(t, w, tgrid, ugrid):
     """|signed distance| to the waveform's grid-interpolated zero contour.
 
@@ -41,15 +56,10 @@ def distance_field_fmm(t, w, tgrid, ugrid):
     """
     if not HAVE_SKFMM:
         raise errors.FMMLibraryError()
-    t = np.asarray(t)
-    w = np.asarray(w)
     tgrid = np.asarray(tgrid)
     ugrid = np.asarray(ugrid)
     nu, ntg = len(ugrid), len(tgrid)
-    phi = -np.ones((nu, ntg))
-    wi = np.interp(tgrid, t, w)
-    _, Yn = np.meshgrid(tgrid, ugrid)
-    phi[Yn > wi] = 1.0
+    phi = signed_indicator(t, w, tgrid, ugrid)
     du = (ugrid[-1] - ugrid[0]) / nu
     dt = (tgrid[-1] - tgrid[0]) / ntg
     d = _skfmm.distance(phi, dx=np.array([du, dt]))

@@ -21,6 +21,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# f32 matmuls default to bf16 on TPU; the Sinkhorn fixed point is
+# sensitive to kernel-apply precision, and these matrices are small
+_HP = jax.lax.Precision.HIGHEST
+
 _EPS = 1e-300
 
 
@@ -99,15 +103,17 @@ def sinkhorn_dense(source, target, gamma: float = 5e-4,
 
     def step(carry, _):
         _, nu = carry
-        mu = src / (M @ nu)
-        nu = tgt / (M.T @ mu)
+        mu = src / jnp.matmul(M, nu, precision=_HP)
+        nu = tgt / jnp.matmul(M.T, mu, precision=_HP)
         return (mu, nu), None
 
     # the plan uses the (mu, nu) pair exactly as the reference leaves them
     # after its final loop iteration (OTlib.py:998-1008) - mu from before
     # the last nu update, no trailing recompute
     (mu, nu), _ = jax.lax.scan(step, (mu0, nu0), None, length=iters)
-    pi = jnp.diag(nu.reshape(-1)) @ M.T @ jnp.diag(mu.reshape(-1))
+    pi = jnp.matmul(jnp.matmul(jnp.diag(nu.reshape(-1)), M.T,
+                               precision=_HP),
+                    jnp.diag(mu.reshape(-1)), precision=_HP)
     dist = amp * jnp.sum(pi.T * cost)
     return dist, pi
 

@@ -53,7 +53,7 @@ def project_sliced(density: Density2D, nproj: int, origin) -> SlicedProjections:
     theta = projection_angles(nproj, f.dtype)
     r = jnp.stack([jnp.cos(theta), jnp.sin(theta)])        # (2, nproj)
     a = density.x.reshape(density.n, 2) - jnp.asarray(origin, f.dtype)
-    fxp = (a @ r).T                                        # (nproj, n)
+    fxp = jnp.matmul(a, r, precision=jax.lax.Precision.HIGHEST).T  # (nproj, n)
     psorted = jnp.argsort(fxp, axis=1, stable=True)
     x_sorted = jnp.take_along_axis(fxp, psorted, axis=1)
     f_sorted = f[psorted]
@@ -76,7 +76,7 @@ def sliced_wasserstein_value(u2d, x2d, target: SlicedProjections,
     theta = projection_angles(nproj, dtype)
     r = jnp.stack([jnp.cos(theta), jnp.sin(theta)])
     a = x2d.reshape(n, 2) - jnp.asarray(origin, dtype)
-    fxp = (a @ r).T
+    fxp = jnp.matmul(a, r, precision=jax.lax.Precision.HIGHEST).T
     psorted = jax.lax.stop_gradient(jnp.argsort(fxp, axis=1, stable=True))
     x_sorted = jnp.take_along_axis(fxp, psorted, axis=1)
     f_sorted = f[psorted]

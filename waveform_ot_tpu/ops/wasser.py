@@ -181,15 +181,18 @@ def _amp_grad(e_scat: jax.Array, cdf: jax.Array, amp: jax.Array, last: bool):
     entries (cf[:-1] if ``last`` is False — the source convention — or the
     full cg if True). Returns dW/df of length n.
     """
+    # HIGHEST: f32 dots default to bf16 multiplies on TPU, visibly biasing
+    # the gradient; these are O(n) vector dots so full precision is free.
+    hp = jax.lax.Precision.HIGHEST
     if last:
         s = e_scat  # (n,) slots for cg[0..n-1]
         rev = jnp.cumsum(s[::-1])[::-1]
-        c0 = jnp.dot(cdf, s)
+        c0 = jnp.dot(cdf, s, precision=hp)
         return (rev - c0) / amp
     s = e_scat  # (n-1,) slots for cf[:-1]
     rev = jnp.cumsum(s[::-1])[::-1]
     rev = jnp.concatenate([rev, jnp.zeros((1,), s.dtype)])  # T_{n-1} = 0
-    c0 = jnp.dot(cdf[:-1], s)
+    c0 = jnp.dot(cdf[:-1], s, precision=hp)
     return (rev - c0) / amp
 
 
@@ -240,7 +243,9 @@ def _wasser_fwd_impl(f, xf, g, xg, p):
         tk, perm, indf, indg, dtk = _merge(cf, cg)
         dx = xf[indf] - xg[indg]
     dist = _dist(dx, p)
-    w = jnp.dot(dist, dtk)
+    # HIGHEST: the W value itself — default f32 dot is bf16 on TPU (~1e-3
+    # relative error on the misfit); this O(m) dot is free at full precision
+    w = jnp.dot(dist, dtk, precision=jax.lax.Precision.HIGHEST)
     res = (ampf, cf, ampg, cg, perm, indf, indg, dtk, dx)
     return w, res
 
@@ -312,7 +317,7 @@ def wasserstein_1d_autodiff(f, xf, g, xg, p: int = 2):
     indg = jax.lax.stop_gradient(jnp.searchsorted(cg, tk, side="left"))
     dtk = jnp.diff(tk, prepend=jnp.zeros((1,), tk.dtype))
     dx = xf[indf] - xg[indg]
-    return jnp.dot(_dist(dx, p), dtk)
+    return jnp.dot(_dist(dx, p), dtk, precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +427,7 @@ def wasserstein_1d_cost(f, g, cost, indexer=None, gather: str | None = None):
             dist = jnp.sum(rows * hot_g, axis=1)
         else:
             dist = cost[indf, indg]
-        return jnp.dot(dist, dtk)
+        return jnp.dot(dist, dtk, precision=jax.lax.Precision.HIGHEST)
 
     return value(f, g)
 

@@ -238,6 +238,229 @@ def plot_misfit_surface(values, x, y, xtrue=None, ytrue=None, filename=None,
     return fig
 
 
+def plot_density_surface(pdf2d, tgrid, ugrid, ridge_t=None, ridge_u=None,
+                         elev: float = 75, azim: float = -134,
+                         cmap="cubehelix_r", filename=None):
+    """3-D shaded surface of the fingerprint density with the waveform
+    drawn as a white ridge line (reference plotPDFsurface,
+    FingerprintLib.py:642-663)."""
+    plt = _plt()
+    from matplotlib.colors import LightSource
+
+    pdf2d = np.asarray(pdf2d)
+    X, Y = np.meshgrid(np.asarray(tgrid), np.asarray(ugrid))
+    mycmap = plt.get_cmap(cmap) if isinstance(cmap, str) else cmap
+    fig = plt.figure(figsize=(12, 12))
+    ax = fig.add_subplot(projection="3d")
+    ls = LightSource(azdeg=40, altdeg=45)
+    ax.view_init(elev=elev, azim=azim)
+    ax.plot_surface(X, Y, pdf2d, antialiased=False, rstride=2, cstride=2,
+                    cmap=mycmap, facecolors=ls.shade(pdf2d, cmap=mycmap))
+    if ridge_t is not None and ridge_u is not None:
+        ax.plot(np.asarray(ridge_t), np.asarray(ridge_u),
+                np.ones(len(np.asarray(ridge_t))), lw=1.0, color="w",
+                zorder=99)
+    ax.set_xlabel("Time, t")
+    ax.set_ylabel("Waveform amplitude, u")
+    ax.set_zlabel("PDF amplitude")
+    ax.set_title(r"PDF = $e^{-|d(u,t)|/\lambda}$")
+    if filename:
+        fig.savefig(filename)
+    return fig
+
+
+def plot_phi(t, waveform, tgrid, ugrid, phi=None, filename=None):
+    """Zero contour of the signed FMM indicator field with the waveform
+    overlaid (reference plot_phi, FingerprintLib.py:664-676). phi defaults
+    to ops.fmm.signed_indicator of the waveform on the grid."""
+    plt = _plt()
+    if phi is None:
+        from waveform_ot_tpu.ops.fmm import signed_indicator
+
+        phi = signed_indicator(t, waveform, tgrid, ugrid)
+    phi = np.asarray(phi)
+    X, Y = np.meshgrid(np.asarray(tgrid), np.asarray(ugrid))
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.contour(X, Y, phi, [0], linewidths=1, colors="grey")
+    ax.contourf(X, Y, phi, [-1, 0, 1], colors=["lightgray", "powderblue"])
+    ax.plot(np.asarray(t), np.asarray(waveform), "-", color="green", lw=0.5)
+    ax.set_title("Zero contour of $d(u,t)$")
+    ax.set_xlabel("t")
+    ax.set_ylabel("u")
+    if filename:
+        fig.savefig(filename)
+    return fig
+
+
+def plot_rays_discrete(darg, verts, tgrid, ugrid, points=None, phi=None,
+                       filename=None, title="discrete rays"):
+    """Rays from grid points to their nearest DISCRETE waveform vertex
+    (reference plot_rays_discrete, FingerprintLib.py:677-713, which draws
+    rays to nearest-neighbour point indices rather than the continuous
+    closest point of plot_rays).
+
+    darg: (nu, ntg) or flat indices of the nearest vertex per grid point
+    (e.g. from ops.fingerprint.distance_field_nn's vertex assignment);
+    points: optional list of (iu, it) grid points to draw (default: a
+    coarse stride over the grid); phi: optional indicator to contour.
+    """
+    plt = _plt()
+    v = np.asarray(verts)
+    tg = np.asarray(tgrid)
+    ug = np.asarray(ugrid)
+    darg = np.asarray(darg).reshape(len(ug), len(tg))
+    fig, ax = plt.subplots(figsize=(9, 9))
+    ax.set_aspect("equal")
+    X, Y = np.meshgrid(tg, ug)
+    if phi is not None:
+        ax.contour(X, Y, np.asarray(phi), [0], linewidths=1, colors="grey")
+    if points is None:
+        points = [(i, j) for i in range(0, len(ug), max(1, len(ug) // 8))
+                  for j in range(0, len(tg), max(1, len(tg) // 8))]
+    for (i, j) in points:
+        k = int(darg[i, j])
+        ax.plot([X[i, j], v[k, 0]], [Y[i, j], v[k, 1]], "b-", lw=0.5)
+    ax.plot(v[:, 0], v[:, 1], "-", color="green", lw=0.7)
+    ax.plot(v[:, 0], v[:, 1], "o", markersize=2.0, color="tab:blue")
+    ax.set_title(title)
+    ax.set_xlabel("t")
+    ax.set_ylabel("u")
+    if filename:
+        fig.savefig(filename)
+    return fig
+
+
+def plot_two_fingerprints(field1, verts1, field2, verts2, titles=("", ""),
+                          levels: int = 30, filename=None):
+    """Side-by-side contour panels of two fingerprint fields with their
+    waveforms (reference plot_2LS, FingerprintLib.py:788-830)."""
+    plt = _plt()
+    fig, axs = plt.subplots(1, 2, figsize=(14, 7))
+    for ax, field, verts, title in zip(axs, (field1, field2),
+                                       (verts1, verts2), titles):
+        f = np.asarray(field)
+        v = np.asarray(verts)
+        ax.plot(v[:, 0], v[:, 1], "-", color="black")
+        ny, nx = f.shape
+        X, Y = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny))
+        ax.contour(X, Y, f, levels, linewidths=0.5, colors="grey")
+        ax.set_title(title)
+        ax.set_xlabel("t")
+        ax.set_ylabel("u")
+    if filename:
+        fig.savefig(filename)
+    return fig
+
+
+def plot_rickers(t1, w1, t2, w2, tlim=None, ulim=None,
+                 title="Ricker Wavelets", filename=None):
+    """Predicted-vs-observed wavelet pair (reference plotrickers,
+    ricker_util.py:106-131)."""
+    plt = _plt()
+    t1, w1, t2, w2 = map(np.asarray, (t1, w1, t2, w2))
+    fig = plt.figure(figsize=(10, 4))
+    plt.title(title)
+    plt.xlabel("t")
+    plt.plot(t1, w1, label="Predicted")
+    plt.plot(t2, w2, label="Observed")
+    plt.legend()
+    if tlim is not None:
+        plt.xlim(*tlim)
+    if ulim is not None:
+        plt.ylim(*ulim)
+    plt.plot([min(t1[0], t2[0]), max(t1[-1], t2[-1])], [0.0, 0.0],
+             "k-", lw=0.5)
+    if filename:
+        fig.savefig(filename)
+    return fig
+
+
+def plot_waveform_fit(tobs, wobs, tpred, wpred, misfits, it: int,
+                      second=None, second_label="L2 distance",
+                      xlim=None, ylim=None, title="Waveform fit",
+                      filename=None):
+    """Iteration fit-evolution panel: waveform fit + misfit-reduction
+    trace(s) with the current iterate marked (reference plotwfit /
+    plotwfit_3panels, ricker_util.py:456-508). Passing ``second`` adds the
+    reference's third panel (e.g. the L2 trace alongside W)."""
+    plt = _plt()
+    misfits = np.asarray(misfits)
+    rows = 2 if second is not None else 1
+    fig = plt.figure(figsize=(14, 4 * rows))
+    ax1 = plt.subplot2grid((rows, 3), (0, 0), colspan=2, rowspan=rows)
+    ax1.set_title(title)
+    ax1.set_xlabel("Time")
+    ax1.plot(np.asarray(tpred), np.asarray(wpred), label="Synthetic")
+    ax1.plot(np.asarray(tobs), np.asarray(wobs), label="Observed")
+    ax1.legend()
+    if xlim is not None:
+        ax1.set_xlim(*xlim)
+    if ylim is not None:
+        ax1.set_ylim(*ylim)
+    ax1.axhline(0.0, color="k", ls=":", lw=0.5)
+
+    ax2 = plt.subplot2grid((rows, 3), (0, 2))
+    ax2.set_title("Misfit reduction")
+    ax2.set_ylabel("Wasserstein distance")
+    ax2.semilogy(misfits, "w-")
+    ax2.semilogy(misfits[: int(it) + 1], "c-")
+    ax2.semilogy(it, misfits[int(it)], "ro")
+    ax2.set_xlabel("Iteration")
+    if second is not None:
+        second = np.asarray(second)
+        ax3 = plt.subplot2grid((rows, 3), (1, 2))
+        ax3.set_title("Misfit reduction")
+        ax3.set_ylabel(second_label)
+        ax3.plot(second, "w-")
+        ax3.plot(second[: int(it) + 1], "c-")
+        ax3.plot(it, second[int(it)], "ro")
+        ax3.set_xlabel("Iteration")
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename)
+    return fig
+
+
+def plot_misfit_sections(misfit_slices, xgrid, ygrid, zg, ztrue, sol=None,
+                         mistype: str = "OT", ninterp: int = 100,
+                         filename=None):
+    """The full 2x2 depth-section misfit figure (reference
+    plotmisfitsection, loc_cmt_util.py:589-655): one interpolated contour
+    panel per depth slice, log-clipped for L2 like the reference, the
+    source at the origin and the solution marked in the last panel.
+
+    misfit_slices: (4, ...) misfit values per depth, each over (xgrid,
+    ygrid) nodes; zg: the four depths; ztrue: true source depth.
+    """
+    plt = _plt()
+    from scipy.interpolate import griddata
+
+    xg = np.asarray(xgrid).ravel()
+    yg = np.asarray(ygrid).ravel()
+    X, Y = np.meshgrid(np.linspace(xg.min(), xg.max(), ninterp),
+                       np.linspace(yg.min(), yg.max(), ninterp))
+    fig = plt.figure(figsize=(16, 12))
+    name = ("Wasserstein" if mistype == "OT" else "L2-norm")
+    fig.suptitle(f"Contours of {name} misfit function between seismograms "
+                 "as a function of source position", fontsize=16)
+    for k in range(4):
+        ax = fig.add_subplot(2, 2, k + 1)
+        Ti = griddata((xg, yg), np.asarray(misfit_slices[k]).ravel(),
+                      (X, Y), method="cubic")
+        Tplot = Ti if mistype == "OT" else np.log(np.clip(Ti, 1.0, np.inf))
+        ax.contour(X, Y, Tplot, 30, cmap="cubehelix_r")
+        cs = ax.contourf(X, Y, Tplot, 30, cmap="cubehelix_r")
+        ax.set_title(f"Misfit at z={float(zg[k]):4.1f} km with source at "
+                     f"{float(ztrue):4.1f} km depth")
+        ax.plot(0.0, 0.0, "ko", markersize=4.0)
+        if k == 3 and sol is not None:
+            ax.plot(sol[0], sol[1], "co", markersize=4.0)
+        fig.colorbar(cs, ax=ax)
+    if filename:
+        fig.savefig(filename)
+    return fig
+
+
 def plot_misfit_section(values, xgrid, ygrid, ninterp: int = 100,
                         sol=None, filename=None, title=None):
     """Interpolated misfit contour section (reference plotmisfitsection,
