@@ -58,6 +58,75 @@ class TestCompatOTpdf:
         assert w > 0 and dw.shape == (4, 4)
 
 
+class TestCompatSolvers:
+    """The reference's module-level alternative/validation solvers
+    (OTlib.py:465-506, 743-852, 854-874, 876-904, 956-1011) through the
+    compat layer, cross-checked against the closed-form wasser."""
+
+    def test_numint_and_linprog_agree_with_wasser(self, problem):
+        f, g, x = problem
+        src = compat.OTpdf((f, x))
+        tgt = compat.OTpdf((g, x + 0.01))
+        w1, w2 = compat.wasser(src, tgt, "W12")
+        w1n, w2n = compat.wasserNumInt(src, tgt)
+        assert abs(w1n - w1) < 5e-4 and abs(w2n - w2) < 5e-4
+        # LP needs equal supports (reference A_eq assumes square)
+        tgt2 = compat.OTpdf((g, x))
+        wlp, H = compat.Wasser_LinProg(src, tgt2, distfunc="W2")
+        (w2s,) = compat.wasser(src, tgt2, "W2")
+        assert abs(wlp - w2s) < 1e-8
+        np.testing.assert_allclose(H.sum(1), src.pdf, atol=1e-8)
+        ok, H2 = compat.wasser_find_optplan(src, tgt2, w2s, distfunc="W2")
+        assert ok
+        np.testing.assert_allclose(H2.sum(1), src.pdf, atol=1e-6)
+
+    def test_sinkhorn_ms_converges_to_w2(self, problem):
+        f, g, x = problem
+        src = compat.OTpdf((f, x))
+        tgt = compat.OTpdf((g, x))
+        d, pi = compat.Sinkhorn_MS(src, tgt, gamma=2e-3, maxiters=800)
+        (w2,) = compat.wasser(src, tgt, "W2")
+        assert abs(d - w2) < 5e-3 * max(1.0, w2)
+        assert pi.shape == (src.n, tgt.n)
+
+    def test_sinkhorn_gaussian_runs(self, problem):
+        f, g, x = problem
+        src = compat.OTpdf((f, x))
+        tgt = compat.OTpdf((g, x))
+        d, v, w = compat.Sinkhorn(src, tgt, gamma=0.005, iter=100)
+        assert np.isfinite(d) and v.shape == f.shape
+
+    def test_barypath_forms(self, problem):
+        f, g, x = problem
+        src = compat.OTpdf((f, x))
+        tgt = compat.OTpdf((g, x + 0.02))
+        weights = [0.0, 0.5, 1.0]
+        amps, xs = compat.barypath_pointmass(src, tgt, weights)
+        np.testing.assert_allclose(amps[0], src.pdf, atol=1e-15)
+        np.testing.assert_allclose(xs[-1], tgt.x, atol=1e-15)
+        arr = compat.barypath(src, tgt, weights, pointmass=True)
+        assert arr.shape[0] == 3 and arr.shape[1] == 2
+        cont = compat.barypath(src, tgt, weights, npoints=2000)
+        assert cont.shape == (3, 2, 2000)
+        cont2, taxis = compat.barypath(src, tgt, weights, npoints=2000,
+                                       returntaxis=True)
+        assert taxis.shape == (2000,)
+
+    def test_pot_wrappers_raise_without_pot(self, problem):
+        from waveform_ot_tpu.ops import errors
+
+        f, g, x = problem
+        src = compat.OTpdf((f, x))
+        tgt = compat.OTpdf((g, x))
+        try:
+            import ot  # noqa: F401
+        except ImportError:
+            with pytest.raises(errors.POTLibraryError):
+                compat.wasserPOT(src, tgt)
+            with pytest.raises(errors.POTLibraryError):
+                compat.sinkhornPOT(src, tgt)
+
+
 class TestCompatWaveformFP:
     def test_calcpdf_fields(self, rng):
         nt = 30

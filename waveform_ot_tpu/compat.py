@@ -144,6 +144,112 @@ def SlicedWasserstein(source: OTpdf, target: OTpdf, Nproj, distfunc="W2",
             for v in out]
 
 
+def wasserNumInt(source: OTpdf, target: OTpdf):
+    """Reference-compatible wasserNumInt (OTlib.py:854-874): brute-force
+    (W1, W2^2) by inverse-CDF sampling. Validation oracle."""
+    from waveform_ot_tpu.ops.validate import wasserstein_numint
+
+    return wasserstein_numint(source.pdf * source.amp, source.x,
+                              target.pdf * target.amp, target.x)
+
+
+def Wasser_LinProg(source: OTpdf, target: OTpdf, distfunc="W1",
+                   maxiter: int = 5000, **_ignored):
+    """Reference-compatible Wasser_LinProg (OTlib.py:465-506): exact W by
+    scipy linear programming. Returns (W, plan)."""
+    from waveform_ot_tpu.ops.validate import cost_matrix, linprog_plan
+
+    p = 1 if distfunc == "W1" else 2
+    H = linprog_plan(source.pdf, source.x, target.pdf, target.x, p=p,
+                     maxiter=maxiter)
+    W = float(np.sum(cost_matrix(source.x, target.x, p) * H))
+    return W, H
+
+
+def wasser_find_optplan(source: OTpdf, target: OTpdf, W, distfunc="W2",
+                        **_ignored):
+    """Reference-compatible wasser_find_optplan (OTlib.py:876-904):
+    recover the optimal plan from a known W value by bounded least
+    squares."""
+    from waveform_ot_tpu.ops.validate import find_plan_from_w
+
+    p = 1 if distfunc == "W1" else 2
+    return find_plan_from_w(source.pdf, source.x, target.pdf, target.x,
+                            float(W), p=p)
+
+
+def Sinkhorn(source: OTpdf, target: OTpdf, gamma: float = 0.005,
+             iter: int = 250, **_ignored):
+    """Reference-compatible Gaussian-kernel Sinkhorn (OTlib.py:956-967).
+    Returns (distance, v, w) scaling fields like the reference."""
+    from waveform_ot_tpu.ops.sinkhorn import sinkhorn_gaussian
+
+    d, v, w = sinkhorn_gaussian(jnp.asarray(source.pdf),
+                                jnp.asarray(target.pdf), gamma=gamma,
+                                iters=iter)
+    return float(d), np.asarray(v), np.asarray(w)
+
+
+def Sinkhorn_MS(sou: OTpdf, tar: OTpdf, gamma: float = 5e-4,
+                maxiters: int = 5001, **_ignored):
+    """Reference-compatible dense-kernel Sinkhorn (OTlib.py:969-1011).
+    Returns (W^p estimate, plan)."""
+    from waveform_ot_tpu.ops.sinkhorn import sinkhorn_dense
+
+    d, pi = sinkhorn_dense(sou.density, tar.density, gamma=gamma,
+                           iters=maxiters)
+    return float(d), np.asarray(pi)
+
+
+def wasserPOT(source: OTpdf, target: OTpdf, distfunc="W2", **kw):
+    """Reference-compatible POT bridge (OTlib.py:906-928); raises
+    POTLibraryError when the optional POT package is absent."""
+    from waveform_ot_tpu.ops.pot_bridge import wasser_pot
+
+    return wasser_pot(source.density, target.density, distfunc=distfunc,
+                      **kw)
+
+
+def sinkhornPOT(source: OTpdf, target: OTpdf, distfunc="W2", **kw):
+    """Reference-compatible POT Sinkhorn (OTlib.py:1015-1053)."""
+    from waveform_ot_tpu.ops.pot_bridge import sinkhorn_pot
+
+    return sinkhorn_pot(source.density, target.density, distfunc=distfunc,
+                        **kw)
+
+
+def barypath_pointmass(source: OTpdf, target: OTpdf, weights):
+    """Reference-compatible barypath_pointmass (OTlib.py:743-786):
+    (amplitudes, positions) lists with the original pdfs substituted at the
+    endpoints."""
+    from waveform_ot_tpu.ops.barycenter import barycenter_pointmass
+
+    amps, xs = barycenter_pointmass(source.density, target.density,
+                                    weights, include_endpoints=True)
+    return [np.asarray(a) for a in amps], [np.asarray(x) for x in xs]
+
+
+def barypath(source: OTpdf, target: OTpdf, weights, npoints: int = 50000,
+             returntaxis: bool = False, pointmass: bool = False):
+    """Reference-compatible barypath (OTlib.py:788-852): continuous
+    displacement interpolation (or the pointmass (k, 2, m) array form)."""
+    from waveform_ot_tpu.ops.barycenter import (
+        barycenter_continuous, barycenter_pointmass,
+    )
+
+    if pointmass:
+        xs, dtk = barycenter_pointmass(source.density, target.density,
+                                       weights)
+        out = np.stack([np.asarray(xs),
+                        np.broadcast_to(np.asarray(dtk), xs.shape)], axis=1)
+        return out
+    out = barycenter_continuous(source.density, target.density, weights,
+                                npoints=npoints, return_taxis=returntaxis)
+    if returntaxis:
+        return np.asarray(out[0]), np.asarray(out[1])
+    return np.asarray(out)
+
+
 class waveformFP:
     """Reference-compatible fingerprint object (FingerprintLib.py:48-180).
 
