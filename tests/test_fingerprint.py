@@ -251,6 +251,9 @@ class TestPallasKernel:
         assert np.abs(np.where(same, a.lam - b.lam, 0.0)).max() < 1e-12
         # disagreements must be exact geometric ties (same distance)
         assert np.abs(np.where(same, 0.0, a.d - b.d)).max() < 1e-12
+        # the VJP offset vector p - x* must agree wherever the winner does
+        dv = np.asarray(a.dvec) - np.asarray(b.dvec)
+        assert np.abs(np.where(same[..., None], dv, 0.0)).max() < 1e-12
 
     def test_odd_sizes_and_chunking(self, rng):
         # grid not a multiple of the tile, several segment chunks

@@ -95,3 +95,41 @@ def test_sharded_objective_value_and_grad(batch_problem):
     v1, g1 = fn(replicate(m, mesh), prob_sharded)
     assert abs(float(v0) - float(v1)) < 1e-10 * max(1.0, abs(float(v0)))
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-8)
+
+
+def test_sharded_misfit_grid_matches_vmap():
+    # the multi-chip grid scan (model nodes sharded over the mesh, zero
+    # collectives) must reproduce the single-device vmapped scan exactly.
+    # Deliberately tiny problem: this compiles two grid-scan programs.
+    from waveform_ot_tpu.inversion.loc_cmt import (
+        misfit_grid, misfit_grid_sharded,
+    )
+
+    nr, nt = 2, 31
+    ang = np.linspace(0, 2 * np.pi, nr, endpoint=False)
+    stations = StationSet(x=jnp.array(60.0 * np.cos(ang)),
+                          y=jnp.array(60.0 * np.sin(ang)))
+    loc = jnp.array([2.0, -1.5, 12.0])
+    mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6)
+    t, s = synthetic_seismograms(loc[0], loc[1], loc[2], mxyz, stations,
+                                 nt=nt, dt=2.0)
+    rng = np.random.default_rng(0)
+    obs = s + 0.002 * float(jnp.max(jnp.abs(s))) * jnp.array(
+        rng.standard_normal(s.shape))
+    cfg = TraceConfig(nu=16, ntg=nt, lambdav=0.04, q=None, p=2)
+    prob = build_loc_cmt_problem(t, obs, stations, cfg, mxyz_fixed=mxyz,
+                                 impl="jnp")
+    opts = InvOptions(loc=True, cmt=False, mistype="OT")
+    ms = jnp.asarray(loc + 5.0 * rng.standard_normal((8, 3)))
+
+    ref = misfit_grid(ms, prob, opts, cfg, impl="jnp")
+
+    mesh = make_mesh()
+    ms_sh = shard_leading_axis(ms, mesh)
+    prob_repl = replicate(prob, mesh)
+    vals = jax.jit(lambda m_, p_: misfit_grid_sharded(
+        m_, p_, opts, cfg, mesh, impl="jnp"))(ms_sh, prob_repl)
+    # outputs stay sharded over the node axis across all 8 devices
+    assert len(vals.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref),
+                               rtol=1e-12)

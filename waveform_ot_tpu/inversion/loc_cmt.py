@@ -182,3 +182,26 @@ def misfit_grid(ms, prob: LocCMTProblem, opts: InvOptions, cfg: TraceConfig,
     """
     return jax.vmap(lambda m: loc_cmt_misfit(m, prob, opts, cfg, impl=impl)
                     )(ms)
+
+
+def misfit_grid_sharded(ms, prob: LocCMTProblem, opts: InvOptions,
+                        cfg: TraceConfig, mesh, axis_name: str = "batch",
+                        impl="auto"):
+    """Multi-chip misfit surface scan: the model-node axis of ``ms`` is
+    sharded over ``mesh`` (problem data replicated) and each chip scans its
+    shard independently — zero inter-chip traffic. Scaling form of
+    :func:`misfit_grid` for large grids (the reference caches this workload
+    to pickle because it is "slow", Figs_9_10_11 cell 64).
+
+    ``ms.shape[0]`` must be divisible by the mesh size (pad with any model;
+    extra rows cost nothing and can be discarded).
+    """
+    from waveform_ot_tpu.parallel.mesh import sharded_map
+
+    # prob rides as a replicated ARGUMENT (not a closure capture: committed
+    # shardings on captured constants conflict with the Manual mesh axes
+    # inside shard_map)
+    f = sharded_map(
+        lambda m, p: loc_cmt_misfit(m, p, opts, cfg, impl=impl),
+        mesh, axis_name=axis_name)
+    return f(ms, prob)

@@ -150,11 +150,17 @@ class DistanceField(NamedTuple):
     d:      (nu, ntg) nearest distance from each grid point to the polyline
     iclose: (nu, ntg) int32 index of the nearest segment (first-min ties)
     lam:    (nu, ntg) clipped projection parameter on that segment
+    dvec:   optional (nu, ntg, 2) offset p - x* from the nearest polyline
+            point to the grid point (|dvec| == d). When present the
+            envelope VJP uses it directly instead of re-gathering the
+            winning segment's geometry through a one-hot matmul (which
+            costs ~35% of the whole backward at the 192-trace config).
     """
 
     d: jax.Array
     iclose: jax.Array
     lam: jax.Array
+    dvec: jax.Array | None = None
 
 
 def _distance_field_jnp(verts, tgrid, ugrid) -> DistanceField:
@@ -175,9 +181,10 @@ def _distance_field_jnp(verts, tgrid, ugrid) -> DistanceField:
     n = p.shape[0]
     lbest = lam[jnp.arange(n), iclose]
     d = jnp.sqrt(dsq[jnp.arange(n), iclose])
+    dvec = ds[jnp.arange(n), iclose]      # p - x* at the winner
     shape = (ugrid.shape[0], tgrid.shape[0])
     return DistanceField(d.reshape(shape), iclose.reshape(shape).astype(jnp.int32),
-                         lbest.reshape(shape))
+                         lbest.reshape(shape), dvec.reshape(shape + (2,)))
 
 
 def _distance_field_scan(verts, tgrid, ugrid, chunk: int = 16) -> DistanceField:
@@ -236,7 +243,7 @@ def _distance_field_scan(verts, tgrid, ugrid, chunk: int = 16) -> DistanceField:
     d = jnp.sqrt(jnp.sum(ds * ds, axis=1))
     shape = (ugrid.shape[0], tgrid.shape[0])
     return DistanceField(d.reshape(shape), ridx.reshape(shape),
-                         lam.reshape(shape))
+                         lam.reshape(shape), ds.reshape(shape + (2,)))
 
 
 def distance_field(verts, tgrid, ugrid, impl: str = "auto",
@@ -290,36 +297,41 @@ def _distance_vjp(verts, tgrid, ugrid, fld: DistanceField, gbar):
     """Envelope-form backward pass (see module docstring)."""
     nt = verts.shape[0]
     nseg = nt - 1
-    tt, uu = jnp.meshgrid(tgrid, ugrid)
-    p = jnp.stack([tt, uu], axis=-1)                      # (nu, ntg, 2)
-    x0 = verts[:-1]
-    c = verts[1:] - verts[:-1]
-    oh = _segment_one_hot(fld.iclose, nseg, verts.dtype)  # (N, nseg)
-    table = jnp.concatenate([x0, c], axis=1)              # (nseg, 4)
-    gath = jnp.dot(oh, table, preferred_element_type=verts.dtype,
-                   precision=jax.lax.Precision.HIGHEST)   # (N, 4)
     shape = fld.d.shape
-    x0w = gath[:, 0:2].reshape(shape + (2,))
-    cw = gath[:, 2:4].reshape(shape + (2,))
-    xstar = x0w + fld.lam[..., None] * cw
     safe_d = jnp.where(fld.d > 0, fld.d, 1.0)
-    # direction of increase of d w.r.t. the closest point x*
-    gdir = (xstar - p) / safe_d[..., None]                # (nu, ntg, 2)
+    if fld.dvec is not None:
+        # direction of increase of d w.r.t. the closest point x*:
+        # (x* - p)/d = -dvec/d, straight from the forward outputs
+        gdir = -fld.dvec / safe_d[..., None]              # (nu, ntg, 2)
+    else:
+        # legacy fields without dvec: re-gather the winning segment's
+        # geometry (one-hot matmul) and rebuild x*
+        tt, uu = jnp.meshgrid(tgrid, ugrid)
+        p = jnp.stack([tt, uu], axis=-1)                  # (nu, ntg, 2)
+        x0 = verts[:-1]
+        c = verts[1:] - verts[:-1]
+        table = jnp.concatenate([x0, c], axis=1)          # (nseg, 4)
+        oh_g = _segment_one_hot(fld.iclose, nseg, verts.dtype)
+        gath = jnp.dot(oh_g, table, preferred_element_type=verts.dtype,
+                       precision=jax.lax.Precision.HIGHEST)   # (N, 4)
+        x0w = gath[:, 0:2].reshape(shape + (2,))
+        cw = gath[:, 2:4].reshape(shape + (2,))
+        xstar = x0w + fld.lam[..., None] * cw
+        gdir = (xstar - p) / safe_d[..., None]
     gdir = jnp.where((fld.d > 0)[..., None], gdir, 0.0)
     gv = gbar[..., None] * gdir
     w0 = (1.0 - fld.lam)[..., None] * gv                  # start-vertex share
     w1 = fld.lam[..., None] * gv                          # end-vertex share
-    # scatter-to-segments as one-hot^T matmuls (MXU), then shift-add the
-    # end-vertex shares onto vertex i+1
-    gseg0 = jnp.dot(oh.T, w0.reshape(-1, 2),
-                    preferred_element_type=verts.dtype,
-                    precision=jax.lax.Precision.HIGHEST)  # (nseg, 2)
-    gseg1 = jnp.dot(oh.T, w1.reshape(-1, 2),
-                    preferred_element_type=verts.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+    # scatter-to-segments as ONE one-hot^T matmul over [w0 | w1] (the
+    # one-hot compare-reduction dominates; fusing both shares halves it),
+    # then shift-add the end-vertex shares onto vertex i+1
+    oh = _segment_one_hot(fld.iclose, nseg, verts.dtype)  # (N, nseg)
+    w01 = jnp.concatenate([w0.reshape(-1, 2), w1.reshape(-1, 2)], axis=1)
+    gseg = jnp.dot(oh.T, w01, preferred_element_type=verts.dtype,
+                   precision=jax.lax.Precision.HIGHEST)   # (nseg, 4)
     zero = jnp.zeros((1, 2), verts.dtype)
-    gverts = (jnp.concatenate([gseg0, zero], axis=0)
-              + jnp.concatenate([zero, gseg1], axis=0))   # (nt, 2)
+    gverts = (jnp.concatenate([gseg[:, 0:2], zero], axis=0)
+              + jnp.concatenate([zero, gseg[:, 2:4]], axis=0))  # (nt, 2)
     gp = -gv                                              # dd/dp = (p - x*)/d
     gtgrid = jnp.sum(gp[..., 0], axis=0)
     gugrid = jnp.sum(gp[..., 1], axis=1)
@@ -434,15 +446,16 @@ def distance_field_nn(verts, tgrid, ugrid) -> DistanceField:
         b = p - x0[seg]
         lam = jnp.clip(jnp.sum(b * c[seg], axis=1) / lsq[seg], 0.0, 1.0)
         ds = b - c[seg] * lam[:, None]
-        return jnp.sum(ds * ds, axis=1), lam
+        return jnp.sum(ds * ds, axis=1), lam, ds
 
-    dp, lamp = seg_dist(segp)
-    dm, lamm = seg_dist(segm)
+    dp, lamp, dsp = seg_dist(segp)
+    dm, lamm, dsm = seg_dist(segm)
     take_p = dp < dm
     dsq = jnp.where(take_p, dp, dm)
     iclose = jnp.where(take_p, segp, segm)
     lam = jnp.where(take_p, lamp, lamm)
+    dvec = jnp.where(take_p[:, None], dsp, dsm)
     shape = (ugrid.shape[0], tgrid.shape[0])
     return DistanceField(jnp.sqrt(dsq).reshape(shape),
                          iclose.reshape(shape).astype(jnp.int32),
-                         lam.reshape(shape))
+                         lam.reshape(shape), dvec.reshape(shape + (2,)))

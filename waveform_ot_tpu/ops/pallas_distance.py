@@ -49,7 +49,8 @@ _BIG = 1.0e30
 _FAR = 1.0e6
 
 
-def _kernel(scal_ref, segs_ref, dout_ref, iout_ref, lout_ref, *,
+def _kernel(scal_ref, segs_ref, dout_ref, iout_ref, lout_ref, vxout_ref,
+            vyout_ref, *,
             tpts: int, sc: int, n_chunks: int, ntg: int, rows: int):
     tile = pl.program_id(0)
     tlo = scal_ref[0, 0]
@@ -68,7 +69,7 @@ def _kernel(scal_ref, segs_ref, dout_ref, iout_ref, lout_ref, *,
         pu = ulo + iu.astype(ftype) * du
 
         def chunk(k, carry):
-            rmin, ridx, rlam = carry
+            rmin, ridx, rlam, rvx, rvy = carry
             sl = pl.ds(k * sc, sc)
             x0x = segs_ref[sl, 0:1]
             x0y = segs_ref[sl, 1:2]
@@ -87,21 +88,34 @@ def _kernel(scal_ref, segs_ref, dout_ref, iout_ref, lout_ref, *,
             iot = jax.lax.broadcasted_iota(jnp.int32, (sc, tpts), 0)
             cand = jnp.where(dsq == minv, iot, sc + 1)
             amin = jnp.min(cand, axis=0, keepdims=True)     # first tie
-            lsel = jnp.sum(jnp.where(iot == amin, lam, 0.0), axis=0,
+            winner = iot == amin
+            lsel = jnp.sum(jnp.where(winner, lam, 0.0), axis=0,
                            keepdims=True)
+            # offset p - x* of the winner (saves the VJP's re-gather)
+            vxsel = jnp.sum(jnp.where(winner, dx, 0.0), axis=0,
+                            keepdims=True)
+            vysel = jnp.sum(jnp.where(winner, dy, 0.0), axis=0,
+                            keepdims=True)
             gidx = k * sc + amin
             better = minv < rmin                    # strict: keep earliest
             return (jnp.where(better, minv, rmin),
                     jnp.where(better, gidx, ridx),
-                    jnp.where(better, lsel, rlam))
+                    jnp.where(better, lsel, rlam),
+                    jnp.where(better, vxsel, rvx),
+                    jnp.where(better, vysel, rvy))
 
         init = (jnp.full((1, tpts), _BIG, ftype),
                 jnp.zeros((1, tpts), jnp.int32),
+                jnp.zeros((1, tpts), ftype),
+                jnp.zeros((1, tpts), ftype),
                 jnp.zeros((1, tpts), ftype))
-        rmin, ridx, rlam = jax.lax.fori_loop(0, n_chunks, chunk, init)
+        rmin, ridx, rlam, rvx, rvy = jax.lax.fori_loop(0, n_chunks, chunk,
+                                                       init)
         dout_ref[pl.ds(r, 1), :] = jnp.sqrt(jnp.maximum(rmin, 0.0))
         iout_ref[pl.ds(r, 1), :] = ridx
         lout_ref[pl.ds(r, 1), :] = rlam
+        vxout_ref[pl.ds(r, 1), :] = rvx
+        vyout_ref[pl.ds(r, 1), :] = rvy
         return 0
 
     jax.lax.fori_loop(0, rows, row_body, 0)
@@ -144,10 +158,12 @@ def _distance_field_pallas_impl(verts, tgrid, ugrid, tpts: int, sc: int,
         jax.ShapeDtypeStruct((n_tiles * rows, tpts), dtype),
         jax.ShapeDtypeStruct((n_tiles * rows, tpts), jnp.int32),
         jax.ShapeDtypeStruct((n_tiles * rows, tpts), dtype),
+        jax.ShapeDtypeStruct((n_tiles * rows, tpts), dtype),
+        jax.ShapeDtypeStruct((n_tiles * rows, tpts), dtype),
     ]
     row_spec = pl.BlockSpec((rows, tpts), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    d, iclose, lam = pl.pallas_call(
+    d, iclose, lam, vx, vy = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -156,7 +172,7 @@ def _distance_field_pallas_impl(verts, tgrid, ugrid, tpts: int, sc: int,
             pl.BlockSpec((s_pad, 6), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[row_spec, row_spec, row_spec],
+        out_specs=[row_spec, row_spec, row_spec, row_spec, row_spec],
         out_shape=out_shape,
         interpret=interpret,
     )(scal, segs)
@@ -165,7 +181,9 @@ def _distance_field_pallas_impl(verts, tgrid, ugrid, tpts: int, sc: int,
     d = d.reshape(-1)[:n_pts].reshape(shape)
     iclose = iclose.reshape(-1)[:n_pts].reshape(shape)
     lam = lam.reshape(-1)[:n_pts].reshape(shape)
-    return d, iclose, lam
+    dvec = jnp.stack([vx.reshape(-1)[:n_pts].reshape(shape),
+                      vy.reshape(-1)[:n_pts].reshape(shape)], axis=-1)
+    return d, iclose, lam, dvec
 
 
 def distance_field_pallas(verts, tgrid, ugrid, tpts: int | None = None,
@@ -192,6 +210,6 @@ def distance_field_pallas(verts, tgrid, ugrid, tpts: int | None = None,
         tpts = min(1024, max(128, cdiv(cdiv(n_pts, 8), 128) * 128))
     nseg = verts.shape[0] - 1
     sc = min(sc, -(-nseg // 8) * 8) if nseg < sc else sc
-    d, iclose, lam = _distance_field_pallas_impl(
+    d, iclose, lam, dvec = _distance_field_pallas_impl(
         verts, tgrid, ugrid, tpts=tpts, sc=sc, interpret=bool(interpret))
-    return fp_mod.DistanceField(d=d, iclose=iclose, lam=lam)
+    return fp_mod.DistanceField(d=d, iclose=iclose, lam=lam, dvec=dvec)

@@ -2,5 +2,5 @@
 
 from waveform_ot_tpu.parallel.mesh import (  # noqa: F401
     make_mesh, pjit_batched_misfit, replicate, shard_leading_axis,
-    sharded_sum,
+    sharded_map, sharded_sum,
 )

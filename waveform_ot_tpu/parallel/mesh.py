@@ -87,6 +87,34 @@ def sharded_sum(per_item_fn: Callable, mesh: Mesh,
     return wrapper
 
 
+def sharded_map(per_item_fn: Callable, mesh: Mesh,
+                axis_name: str = "batch") -> Callable:
+    """shard_map an embarrassingly parallel map: f(batch, *replicated) ->
+    per-item outputs, leading axis sharded like the input.
+
+    This is the multi-chip form of the reference's two most expensive
+    workloads (SURVEY.md 3.5): the misfit-surface grid scan (1,764 serial
+    objective evaluations in Figs_9_10_11 cell 64) and the 64-start repeat
+    study (Fig_12 cell 46). Each device vmaps its local shard of the
+    model-node/start axis; there is no cross-chip communication at all —
+    outputs stay sharded until the caller gathers them.
+    """
+
+    def local(batch, *rest):
+        return jax.vmap(lambda item: per_item_fn(item, *rest))(batch)
+
+    def wrapper(batch, *rest):
+        f = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name),) + (P(),) * len(rest),
+            out_specs=P(axis_name),
+        )
+        return f(batch, *rest)
+
+    return wrapper
+
+
 def pjit_batched_misfit(misfit_fn: Callable, mesh: Mesh,
                         axis_name: str = "batch") -> Callable:
     """GSPMD path: jit a misfit over inputs already placed with
