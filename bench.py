@@ -14,6 +14,13 @@ this host's CPU).
     (reference optfunc: 1.854 s/call measured single-core);
   * 1024x3 scaling point — the same batched objective at 3072 traces
     (baseline scaled from the per-trace reference cost);
+  * 21x21x4 misfit grid scan (1,764 nodes, 11 stations x 3 comps) — the
+    Figs_9_10_11 cell-64 workload the reference caches to pickle because
+    it is slow; one vmapped device program here;
+  * 64-start repeat study (Fig_12) — one vmapped on-device L-BFGS vs 64
+    serial scipy inversions (baseline: measured nfev x per-call cost);
+  * 800x600 fingerprint density (FingerprintLib __main__ demo scale),
+    vs the measured reference wdist(deriv=True) wall-clock;
   * f32 deviation — relative value/gradient deviation of the f32 pipeline
     vs a float64 CPU oracle run of the same flagship problem (SURVEY.md
     section 7 hard part #2).
@@ -118,6 +125,94 @@ def bench_ricker(impl: str, n_iter: int) -> float:
     return per_call
 
 
+def bench_grid_scan(impl: str, n_iter: int):
+    """The Figs_9_10_11 cell-64 workload: 21x21x4 = 1,764-node misfit
+    surface scan over (x, y, z) at the Fukuoka-style 11 stations x 3 comps,
+    value+grad per node (the reference's optfunc computes both) — the
+    single most expensive computation in the reference (SURVEY.md 3.5),
+    run as one vmapped device program."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveform_ot_tpu.inversion import InvOptions, loc_cmt_value_and_grad
+
+    from __graft_entry__ import _build_problem
+
+    loc, cfg, prob = _build_problem(nr=11, impl=impl, dtype=jnp.float32)
+    opts = InvOptions(loc=True, cmt=False, mistype="OT")
+    xg = np.linspace(-20, 20, 21)
+    yg = np.linspace(-20, 20, 21)
+    zg = np.linspace(4, 22, 4)
+    Z, X, Y = np.meshgrid(zg, xg, yg, indexing="ij")
+    ms = jnp.asarray(np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1),
+                     jnp.float32)
+    fn = jax.jit(lambda mm, pp: jax.vmap(
+        lambda m: loc_cmt_value_and_grad(m, pp, opts, cfg, impl=impl))(mm))
+    per_scan = _time(fn, (ms, prob), n_iter)
+    v, _ = fn(ms, prob)
+    assert np.all(np.isfinite(np.asarray(v)))
+    return per_scan, ms.shape[0]
+
+
+def bench_multi_start(impl: str, n_iter: int):
+    """The Fig_12 repeat-convergence study: 64 independent source-location
+    inversions from random starts, run as ONE vmapped on-device L-BFGS
+    (reference: 64 serial scipy L-BFGS-B inversions). Asserts every start
+    recovers the true location."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveform_ot_tpu.inversion import InvOptions
+    from waveform_ot_tpu.inversion.lbfgs import minimize_multi_start
+    from waveform_ot_tpu.inversion.loc_cmt import loc_cmt_misfit
+
+    from __graft_entry__ import _build_problem
+
+    loc, cfg, prob = _build_problem(nr=11, impl=impl, dtype=jnp.float32)
+    opts = InvOptions(loc=True, cmt=False, mistype="OT")
+    rng = np.random.default_rng(1)
+    starts = jnp.asarray(np.asarray(loc) + rng.uniform(-15, 15, size=(64, 3)),
+                         jnp.float32)
+
+    def fobj(m):
+        return loc_cmt_misfit(m, prob, opts, cfg, impl=impl)
+
+    run = jax.jit(lambda xs: minimize_multi_start(fobj, xs, max_iter=30,
+                                                  tol=3e-5))
+    per_study = _time(run, (starts,), n_iter)
+    res = run(starts)
+    err = np.asarray(jnp.linalg.norm(res.x - jnp.asarray(loc), axis=1))
+    assert np.all(err < 1.0), f"multi-start did not converge: max err {err.max()}"
+    return per_study, starts.shape[0]
+
+
+def bench_big_fingerprint(n_iter: int):
+    """The FingerprintLib __main__ demo at full scale: 626-sample waveform,
+    800x600 grid, lambda=0.04 — fingerprint density incl. the derivative
+    precompute (the Pallas kernel emits d, iclose, lambda and the winner
+    offset in one pass; the reference's wdist(deriv=True) is the baseline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveform_ot_tpu.ops.fingerprint import (
+        FingerprintSpec, fingerprint_density, make_window,
+    )
+
+    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    t = jnp.asarray(np.linspace(0.0, 1.0, 626), jnp.float32)
+    w = 2 * jnp.sin(t * 6 * np.pi) - 3 * jnp.cos((2 * t + 0.30) * 2 * np.pi)
+    du = float(w.max() - w.min())
+    win = make_window(float(t[0]), float(t[-1]),
+                      float(w.min()) - 0.15 * du, float(w.max()) + 0.15 * du)
+    spec = FingerprintSpec(nu=800, ntg=600)
+    fn = jax.jit(lambda ww: fingerprint_density(t, ww, win, spec,
+                                                lambdav=0.04, impl=impl)[0])
+    per_call = _time(fn, (w,), n_iter)
+    pdf = fn(w)
+    assert np.all(np.isfinite(np.asarray(pdf)))
+    return per_call
+
+
 def f32_deviation(impl: str):
     """Relative value/grad deviation of the f32 pipeline vs a float64 CPU
     oracle of the identical problem (fresh subprocess: x64 must be enabled
@@ -146,11 +241,22 @@ def main() -> None:
     ref_per_trace = ref_batch / 192.0
 
     n64, nr_ricker, n1024 = (50, 20, 10) if on_tpu else (5, 2, 1)
+    n_scan, n_ms, n_bigfp = (3, 2, 20) if on_tpu else (1, 1, 1)
 
     per_64, _, _ = bench_loc_cmt(64, impl, n64)
     per_ricker = bench_ricker(impl, nr_ricker)
     per_1024, _, _ = bench_loc_cmt(1024, impl, n1024)
+    per_scan, n_nodes = bench_grid_scan(impl, n_scan)
+    per_study, n_starts = bench_multi_start(impl, n_ms)
+    per_bigfp = bench_big_fingerprint(n_bigfp)
     dv, dg = f32_deviation(impl)
+
+    # reference costs for the Fukuoka-style 11x3 configuration: the measured
+    # per-call cost is linear in trace count (per-trace python loop)
+    ref_node = ref_per_trace * 33
+    ref_scan = ref_node * n_nodes
+    ref_study = ref_node * baseline["ref_invert_nfev"] * n_starts
+    ref_bigfp = baseline["ref_bigfp_800x600_s"]
 
     extra = [
         {"metric": "ricker objective 80x512 misfit+grad",
@@ -162,6 +268,15 @@ def main() -> None:
         {"metric": "throughput at 1024x3",
          "value": round(3072 / per_1024), "unit": "traces/s",
          "vs_baseline": round((3072 / per_1024) / (1.0 / ref_per_trace), 2)},
+        {"metric": "misfit grid scan 21x21x4 (1764 nodes), 11 stations x 3 comps",
+         "value": round(per_scan * 1e3, 1), "unit": "ms",
+         "vs_baseline": round(ref_scan / per_scan, 2)},
+        {"metric": "64-start repeat inversion study, on-device LBFGS",
+         "value": round(per_study * 1e3, 1), "unit": "ms",
+         "vs_baseline": round(ref_study / per_study, 2)},
+        {"metric": "fingerprint density 800x600 grid, 625 segments (w/ deriv precompute)",
+         "value": round(per_bigfp * 1e3, 4), "unit": "ms",
+         "vs_baseline": round(ref_bigfp / per_bigfp, 2)},
         {"metric": "f32 vs f64 relative deviation (value)",
          "value": float(f"{dv:.3e}"), "unit": "rel", "vs_baseline": None},
         {"metric": "f32 vs f64 relative deviation (grad, max)",
