@@ -261,29 +261,69 @@ class TestDistfuncDispatch:
 
 
 class TestOptionalBridges:
-    def test_pot_raises_without_library(self, rng):
-        from waveform_ot_tpu.ops import errors
-        from waveform_ot_tpu.ops.pot_bridge import HAVE_POT, wasser_pot
+    """The bridges run on the native C++ solvers by default ('auto'
+    backend); the reference's raise-when-absent behaviour is preserved
+    for backend='pot'/'skfmm' (OTlib.py:24-28, FingerprintLib.py:139-141).
+    Numerical validation of the native solvers lives in test_native.py."""
+
+    def test_wasser_pot_runs_on_default_backend(self, rng):
         from waveform_ot_tpu.ops import make_density_1d
+        from waveform_ot_tpu.ops.pot_bridge import wasser_pot
+
+        src = make_density_1d(jnp.array(rng.random(5) + 0.1),
+                              jnp.linspace(0, 1, 5))
+        w, plan = wasser_pot(src, src, "W2", returnplan=True)
+        assert abs(w) < 1e-10
+        np.testing.assert_allclose(plan.sum(1), np.asarray(src.pdf),
+                                   atol=1e-12)
+
+    def test_sinkhorn_pot_runs_on_default_backend(self, rng):
+        from waveform_ot_tpu.ops import make_density_1d
+        from waveform_ot_tpu.ops.pot_bridge import sinkhorn_pot
+
+        f = rng.random(6) + 0.1
+        g = rng.random(6) + 0.1
+        x = jnp.linspace(0, 1, 6)
+        src = make_density_1d(jnp.array(f), x)
+        tgt = make_density_1d(jnp.array(g), x)
+        w, plan = sinkhorn_pot(src, tgt, "W2", returnplan=True, gamma=1e-2)
+        assert np.isfinite(w) and w >= 0
+        np.testing.assert_allclose(plan.sum(1), np.asarray(src.pdf),
+                                   atol=1e-6)
+
+    def test_pot_backend_raises_without_library(self, rng):
+        from waveform_ot_tpu.ops import errors, make_density_1d
+        from waveform_ot_tpu.ops.pot_bridge import HAVE_POT, wasser_pot
 
         src = make_density_1d(jnp.array(rng.random(5) + 0.1),
                               jnp.linspace(0, 1, 5))
         if HAVE_POT:
-            w = wasser_pot(src, src, "W2")[0]
+            w = wasser_pot(src, src, "W2", backend="pot")[0]
             assert abs(w) < 1e-10
         else:
             with pytest.raises(errors.POTLibraryError):
-                wasser_pot(src, src, "W2")
+                wasser_pot(src, src, "W2", backend="pot")
 
-    def test_fmm_raises_without_library(self):
+    def test_fmm_runs_on_default_backend(self):
+        from waveform_ot_tpu.ops.fmm import distance_field_fmm
+
+        t = np.linspace(0, 1, 10)
+        w = np.sin(t)
+        d = distance_field_fmm(t, w, t, np.linspace(-1, 2, 8))
+        assert d.shape == (8, 10)
+        assert np.all(d >= 0) and np.all(np.isfinite(d))
+
+    def test_skfmm_backend_raises_without_library(self):
         from waveform_ot_tpu.ops import errors
         from waveform_ot_tpu.ops.fmm import HAVE_SKFMM, distance_field_fmm
 
         t = np.linspace(0, 1, 10)
         w = np.sin(t)
         if HAVE_SKFMM:
-            d = distance_field_fmm(t, w, t, np.linspace(-1, 2, 8))
+            d = distance_field_fmm(t, w, t, np.linspace(-1, 2, 8),
+                                   backend="skfmm")
             assert d.shape == (8, 10)
         else:
             with pytest.raises(errors.FMMLibraryError):
-                distance_field_fmm(t, w, t, np.linspace(-1, 2, 8))
+                distance_field_fmm(t, w, t, np.linspace(-1, 2, 8),
+                                   backend="skfmm")

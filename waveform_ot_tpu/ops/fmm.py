@@ -1,12 +1,18 @@
-"""Optional fast-marching distance field (scikit-fmm bridge).
+"""Fast-marching distance field (native C++ solver, optional skfmm).
 
 Reference: the 'FMM' branch of waveformFP.calcpdf
 (libs/FingerprintLib.py:139-152): build a signed indicator (+1 above the
 waveform interpolated onto the grid time axis, -1 below), run
-skfmm.distance, take |.|. Kept for parity as a host-side path; the
-Enumerate/Pallas exact polyline field is the production method. Raises
-:class:`errors.FMMLibraryError` when scikit-fmm is absent, like the
-reference guard at FingerprintLib.py:139-141.
+skfmm.distance, take |.|. The Enumerate/Pallas exact polyline field is the
+production method; this is the approximate host-side alternative.
+
+scikit-fmm is not installable in this environment, so the default backend
+is the framework's own C++ fast-marching solver
+(waveform_ot_tpu/native/src/wotnative.cpp — same first/second-order upwind
+scheme and sub-cell interface initialization as skfmm). skfmm is still
+preferred when present. :class:`errors.FMMLibraryError` is raised only
+when the requested backend is unavailable (matching the reference guard
+at FingerprintLib.py:139-141 for backend='skfmm').
 
 Note the reference's own comments question its dx handling ("IS
 self.delgrid the wrong way around here?", FingerprintLib.py:148); this
@@ -29,10 +35,16 @@ except ImportError:  # pragma: no cover - environment without skfmm
     HAVE_SKFMM = False
 
 
+def _have_native() -> bool:
+    from waveform_ot_tpu import native
+
+    return native.available()
+
+
 def signed_indicator(t, w, tgrid, ugrid):
     """The FMM seed field phi: +1 above the grid-interpolated waveform,
     -1 on/below (FingerprintLib.py:142-146). Pure NumPy — also used by
-    viz.plot_phi, so it works without scikit-fmm installed."""
+    viz.plot_phi, so it works without any FMM backend."""
     t = np.asarray(t)
     w = np.asarray(w)
     tgrid = np.asarray(tgrid)
@@ -44,23 +56,73 @@ def signed_indicator(t, w, tgrid, ugrid):
     return phi
 
 
-def distance_field_fmm(t, w, tgrid, ugrid):
+def distance_field_fmm(t, w, tgrid, ugrid, backend: str = "auto",
+                       order: int | None = None):
     """|signed distance| to the waveform's grid-interpolated zero contour.
 
     Args (NumPy, host-side):
-      t, w:   waveform samples.
-      tgrid:  (ntg,) grid time axis; ugrid: (nu,) amplitude axis
-              (physical or normalized — consistent with t, w).
+      t, w:    waveform samples.
+      tgrid:   (ntg,) grid time axis; ugrid: (nu,) amplitude axis
+               (physical or normalized — consistent with t, w).
+      backend: 'skfmm'  — the scikit-fmm wheel (raises FMMLibraryError
+                          when absent, the reference behaviour);
+               'native' — the built-in C++ fast-marching solver;
+               'auto'   — skfmm when installed, else native.
+      order:   upwind difference order (1 or 2). Default: 2 for skfmm
+               (its own default) but 1 for the native backend — the
+               fingerprint pipeline seeds FMM with a +/-1 indicator
+               (FingerprintLib.py:142-146) whose interface band is only
+               half-cell accurate, and second-order extrapolation through
+               that band amplifies its quantization error (measured: 4-5x
+               worse median error than first order on a circle test).
 
     Returns (nu, ntg) distances.
     """
-    if not HAVE_SKFMM:
-        raise errors.FMMLibraryError()
     tgrid = np.asarray(tgrid)
     ugrid = np.asarray(ugrid)
     nu, ntg = len(ugrid), len(tgrid)
+    if backend == "auto":
+        backend = "skfmm" if HAVE_SKFMM else "native"
+    if order is None:
+        order = 2 if backend == "skfmm" else 1
     phi = signed_indicator(t, w, tgrid, ugrid)
+    # reference cell sizes, reproduced as-is (FingerprintLib.py:147-151)
     du = (ugrid[-1] - ugrid[0]) / nu
     dt = (tgrid[-1] - tgrid[0]) / ntg
-    d = _skfmm.distance(phi, dx=np.array([du, dt]))
+    if backend == "skfmm":
+        if not HAVE_SKFMM:
+            raise errors.FMMLibraryError()
+        d = _skfmm.distance(phi, dx=np.array([du, dt]), order=order)
+    elif backend == "native":
+        from waveform_ot_tpu import native
+
+        if not native.available():  # pragma: no cover - g++ always present
+            raise errors.FMMLibraryError()
+        d = native.fmm_distance(phi, (du, dt), order=order)
+    else:
+        raise ValueError(f"unknown FMM backend {backend!r}")
     return np.abs(d)
+
+
+def fmm_ray_endpoints(d, deltax):
+    """Ray end points from an FMM distance field via its gradient.
+
+    Reference: calcFMM_dist_deriv (FingerprintLib.py:853-865) — normalize
+    np.gradient of the distance field and step each normalized grid point
+    back along it by its distance; zero-gradient points map to (0, 0) as
+    in the reference. Returns (Xw, Yw) in normalized [0,1] coordinates.
+    (The reference's follow-up find_raystart_point_with_gradient is
+    documented there as a failed attempt and is not reproduced.)
+    """
+    d = np.asarray(d)
+    dy, dx = np.gradient(d, deltax[0], deltax[1])
+    nu, ntg = d.shape
+    Xn, Yn = np.meshgrid(np.linspace(0, 1, ntg), np.linspace(0, 1, nu))
+    A = np.sqrt(dx * dx + dy * dy)
+    dy = np.divide(dy, A, out=np.zeros_like(dy), where=A != 0)
+    dx = np.divide(dx, A, out=np.zeros_like(dx), where=A != 0)
+    Xw = Xn - d * dx
+    Yw = Yn - d * dy
+    Xw[A == 0] = 0.0
+    Yw[A == 0] = 0.0
+    return Xw, Yw
