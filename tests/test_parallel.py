@@ -133,3 +133,102 @@ def test_sharded_misfit_grid_matches_vmap():
     assert len(vals.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref),
                                rtol=1e-12)
+
+
+class TestGridSharded:
+    """Sequence-parallel fingerprint (parallel/grid_shard.py): the grid's
+    time axis sharded over the 8-device CPU mesh must reproduce the
+    single-device pipeline exactly — values and gradients."""
+
+    def _problem(self, rng, ntg=128, nu=24, nt=40):
+        from waveform_ot_tpu.ops import make_density_1d
+
+        t = jnp.linspace(0.0, 1.0, nt)
+        w = 0.4 + 0.2 * jnp.sin(4 * np.pi * t) + 0.02 * jnp.asarray(
+            rng.standard_normal(nt))
+        verts = jnp.stack([t, w], axis=1)
+        tgrid = jnp.linspace(0.0, 1.0, ntg)
+        ugrid = jnp.linspace(0.0, 1.0, nu)
+        tt = rng.random(ntg) + 0.1
+        uu = rng.random(nu) + 0.1
+        target_t = make_density_1d(jnp.asarray(tt), tgrid)
+        target_u = make_density_1d(jnp.asarray(uu), ugrid)
+        return verts, tgrid, ugrid, target_t, target_u
+
+    def test_value_matches_single_device(self, rng):
+        from waveform_ot_tpu.ops.marginal import marg_wasserstein_value
+        from waveform_ot_tpu.parallel import (
+            grid_sharded_marg_misfit, make_mesh, shard_grid_axis,
+        )
+        from waveform_ot_tpu.ops.fingerprint import (
+            density_from_distance, distance_field_diff,
+        )
+
+        verts, tgrid, ugrid, target_t, target_u = self._problem(rng)
+        mesh = make_mesh(axis_name="seq")
+
+        u2d = density_from_distance(
+            distance_field_diff(verts, tgrid, ugrid, "jnp"), 0.04, q=None)
+        wt_ref, wu_ref = marg_wasserstein_value(u2d, tgrid, ugrid,
+                                                target_t, target_u, p=2)
+
+        fn = grid_sharded_marg_misfit(mesh, lambdav=0.04, q=None, p=2,
+                                      impl="jnp")
+        tg_sh = shard_grid_axis(tgrid, mesh)
+        wt, wu = jax.jit(fn)(verts, tg_sh, ugrid, target_t, target_u,
+                             jnp.asarray(0.0))
+        np.testing.assert_allclose(float(wt), float(wt_ref), rtol=1e-12)
+        np.testing.assert_allclose(float(wu), float(wu_ref), rtol=1e-12)
+
+    def test_gradients_match_single_device(self, rng):
+        from waveform_ot_tpu.ops.marginal import marg_wasserstein_value
+        from waveform_ot_tpu.parallel import (
+            grid_sharded_marg_misfit, make_mesh, shard_grid_axis,
+        )
+        from waveform_ot_tpu.ops.fingerprint import (
+            density_from_distance, distance_field_diff,
+        )
+
+        verts, tgrid, ugrid, target_t, target_u = self._problem(rng)
+        mesh = make_mesh(axis_name="seq")
+
+        def ref_obj(v, ts):
+            u2d = density_from_distance(
+                distance_field_diff(v, tgrid, ugrid, "jnp"), 0.04, q=None)
+            wt, wu = marg_wasserstein_value(u2d, tgrid, ugrid, target_t,
+                                            target_u, p=2, tshift=ts)
+            return 0.5 * wt + 0.5 * wu
+
+        fn = grid_sharded_marg_misfit(mesh, lambdav=0.04, q=None, p=2,
+                                      impl="jnp")
+        tg_sh = shard_grid_axis(tgrid, mesh)
+
+        def sh_obj(v, ts):
+            wt, wu = fn(v, tg_sh, ugrid, target_t, target_u, ts)
+            return 0.5 * wt + 0.5 * wu
+
+        ts0 = jnp.asarray(0.0)
+        gv_ref, gt_ref = jax.grad(ref_obj, argnums=(0, 1))(verts, ts0)
+        gv, gt = jax.jit(jax.grad(sh_obj, argnums=(0, 1)))(verts, ts0)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                                   rtol=1e-11, atol=1e-14)
+        np.testing.assert_allclose(float(gt), float(gt_ref), rtol=1e-11)
+
+    def test_sharded_density_layout(self, rng):
+        from waveform_ot_tpu.parallel import (
+            grid_sharded_density, make_mesh, shard_grid_axis,
+        )
+        from waveform_ot_tpu.ops.fingerprint import (
+            density_from_distance, distance_field_diff,
+        )
+
+        verts, tgrid, ugrid, _, _ = self._problem(rng)
+        mesh = make_mesh(axis_name="seq")
+        fn = grid_sharded_density(mesh, lambdav=0.04, q=None, impl="jnp")
+        pdf = jax.jit(fn)(verts, shard_grid_axis(tgrid, mesh), ugrid)
+        assert pdf.shape == (ugrid.shape[0], tgrid.shape[0])
+        assert len(pdf.sharding.device_set) == 8  # stays distributed
+        ref = density_from_distance(
+            distance_field_diff(verts, tgrid, ugrid, "jnp"), 0.04, q=None)
+        np.testing.assert_allclose(np.asarray(pdf), np.asarray(ref),
+                                   rtol=1e-14)
