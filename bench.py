@@ -229,27 +229,94 @@ def f32_deviation(impl: str):
     return dv, dg
 
 
-def main() -> None:
+def _stage(name):
+    import sys as _s
+    import time as _t
+
+    print(f"[bench {_t.strftime('%H:%M:%S')}] {name}", file=_s.stderr,
+          flush=True)
+
+
+def _setup_cache() -> None:
     import jax
 
+    # persistent compile cache: the multi-metric suite compiles ~7 large
+    # programs; caching makes reruns (and the driver's capture) fast and
+    # resilient to slow remote-compile days on the axon tunnel.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/wot_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def run_stage(name: str) -> dict:
+    """Run one benchmark stage in THIS process and return its raw numbers.
+
+    Called by main() in a fresh subprocess per stage: executing a Pallas
+    kernel degrades every subsequent program launch in this axon runtime
+    (0.02 ms -> 0.5-3 ms, see CLAUDE.md), so in-process stages contaminate
+    each other — measured: the Ricker objective reads ~0.8 ms in a fresh
+    process but ~2.4 ms when run after the loc/CMT stages.
+    """
+    import jax
+
+    _setup_cache()
     on_tpu = jax.default_backend() == "tpu"
     impl = "auto" if on_tpu else "jnp"
+    n64, nr_ricker, n1024 = (50, 20, 10) if on_tpu else (5, 2, 1)
+    n_scan, n_ms, n_bigfp = (3, 2, 20) if on_tpu else (1, 1, 1)
+    if name == "loc64":
+        per, _, _ = bench_loc_cmt(64, impl, n64)
+        return {"per": per}
+    if name == "ricker":
+        return {"per": bench_ricker(impl, nr_ricker)}
+    if name == "loc1024":
+        per, _, _ = bench_loc_cmt(1024, impl, n1024)
+        return {"per": per}
+    if name == "scan":
+        per, n_nodes = bench_grid_scan(impl, n_scan)
+        return {"per": per, "n_nodes": n_nodes}
+    if name == "multistart":
+        per, n_starts = bench_multi_start(impl, n_ms)
+        return {"per": per, "n_starts": n_starts}
+    if name == "bigfp":
+        return {"per": bench_big_fingerprint(n_bigfp)}
+    if name == "f32dev":
+        dv, dg = f32_deviation(impl)
+        return {"dv": dv, "dg": dg}
+    raise SystemExit(f"unknown stage {name!r}")
+
+
+def _run_stage_subprocess(name: str) -> dict:
+    _stage(name)
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "--stage", name],
+        capture_output=True, text=True, timeout=3600)
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench stage {name} failed:\n{out.stderr[-4000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
     baseline = json.loads(
         (Path(__file__).parent / "bench_baseline.json").read_text())
     ref_batch = baseline["ref_batch_64x3_s"]
     ref_ricker = baseline["ref_ricker_objective_s"]
     ref_per_trace = ref_batch / 192.0
 
-    n64, nr_ricker, n1024 = (50, 20, 10) if on_tpu else (5, 2, 1)
-    n_scan, n_ms, n_bigfp = (3, 2, 20) if on_tpu else (1, 1, 1)
-
-    per_64, _, _ = bench_loc_cmt(64, impl, n64)
-    per_ricker = bench_ricker(impl, nr_ricker)
-    per_1024, _, _ = bench_loc_cmt(1024, impl, n1024)
-    per_scan, n_nodes = bench_grid_scan(impl, n_scan)
-    per_study, n_starts = bench_multi_start(impl, n_ms)
-    per_bigfp = bench_big_fingerprint(n_bigfp)
-    dv, dg = f32_deviation(impl)
+    per_64 = _run_stage_subprocess("loc64")["per"]
+    per_ricker = _run_stage_subprocess("ricker")["per"]
+    per_1024 = _run_stage_subprocess("loc1024")["per"]
+    scan = _run_stage_subprocess("scan")
+    per_scan, n_nodes = scan["per"], scan["n_nodes"]
+    ms = _run_stage_subprocess("multistart")
+    per_study, n_starts = ms["per"], ms["n_starts"]
+    per_bigfp = _run_stage_subprocess("bigfp")["per"]
+    dev = _run_stage_subprocess("f32dev")
+    dv, dg = dev["dv"], dev["dg"]
+    _stage("done")
 
     # reference costs for the Fukuoka-style 11x3 configuration: the measured
     # per-call cost is linear in trace count (per-trace python loop)
@@ -292,4 +359,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        print(json.dumps(run_stage(sys.argv[2])))
+    else:
+        main()

@@ -112,19 +112,26 @@ class TestCompatSolvers:
                                        returntaxis=True)
         assert taxis.shape == (2000,)
 
-    def test_pot_wrappers_raise_without_pot(self, problem):
+    def test_pot_wrappers_run_on_native_backend(self, problem):
+        # wasserPOT/sinkhornPOT now fall back to the built-in C++ solvers
+        # when POT is absent (see ops/pot_bridge.py); the reference's
+        # raise-when-absent behaviour survives under backend='pot'
         from waveform_ot_tpu.ops import errors
 
         f, g, x = problem
         src = compat.OTpdf((f, x))
         tgt = compat.OTpdf((g, x))
+        w = compat.wasserPOT(src, tgt)[0]
+        ws = compat.sinkhornPOT(src, tgt, gamma=1e-2)[0]
+        assert np.isfinite(w) and w >= 0
+        assert np.isfinite(ws) and ws >= 0
         try:
             import ot  # noqa: F401
         except ImportError:
             with pytest.raises(errors.POTLibraryError):
-                compat.wasserPOT(src, tgt)
+                compat.wasserPOT(src, tgt, backend="pot")
             with pytest.raises(errors.POTLibraryError):
-                compat.sinkhornPOT(src, tgt)
+                compat.sinkhornPOT(src, tgt, backend="pot")
 
 
 class TestCompatWaveformFP:

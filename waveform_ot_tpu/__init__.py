@@ -25,6 +25,8 @@ Layer map (mirrors reference layers, reference files cited per module):
               pyprop8 host bridge          (ricker_util.py, loc_cmt_util.py)
   inversion/  objectives, windows, LBFGS, traces  (…_util.py, …_opt.py)
   parallel/   mesh/sharding utilities      (absent in reference; SURVEY 2.5)
+  native/     C++ validation solvers: exact EMD, fast marching
+              (replaces the optional POT / scikit-fmm native wheels)
   utils/      config, IO/checkpointing, profiling
 """
 

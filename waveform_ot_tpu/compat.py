@@ -202,8 +202,9 @@ def Sinkhorn_MS(sou: OTpdf, tar: OTpdf, gamma: float = 5e-4,
 
 
 def wasserPOT(source: OTpdf, target: OTpdf, distfunc="W2", **kw):
-    """Reference-compatible POT bridge (OTlib.py:906-928); raises
-    POTLibraryError when the optional POT package is absent."""
+    """Reference-compatible POT bridge (OTlib.py:906-928). Runs on the
+    built-in native exact-EMD solver when POT is absent; pass
+    ``backend='pot'`` for the reference's raise-when-absent behaviour."""
     from waveform_ot_tpu.ops.pot_bridge import wasser_pot
 
     return wasser_pot(source.density, target.density, distfunc=distfunc,

@@ -121,6 +121,11 @@ def emd(a, b, cost, max_ratio_check: float = 1e-6):
     Returns:
       (value, plan): the optimal cost ``sum(plan * cost)`` and the (n, m)
       optimal transport plan.
+
+    Complexity is ~O((n+m) * n * m) with dense Dijkstra passes — exact
+    and dependency-free, sized for validation problems (n, m up to a few
+    hundred run in well under a second; 512x512 takes ~20 s). For larger
+    production EMDs install POT (``backend='pot'`` in the bridges).
     """
     lib = _load()
     a = _as_c(np.ravel(a))
