@@ -112,6 +112,10 @@ class TestCompatSolvers:
                                        returntaxis=True)
         assert taxis.shape == (2000,)
 
+    @pytest.mark.skipif(
+        not __import__("waveform_ot_tpu.native", fromlist=["available"]
+                       ).available(),
+        reason="native toolchain unavailable")
     def test_pot_wrappers_run_on_native_backend(self, problem):
         # wasserPOT/sinkhornPOT now fall back to the built-in C++ solvers
         # when POT is absent (see ops/pot_bridge.py); the reference's

@@ -248,3 +248,52 @@ class TestBridges:
         wf2 = waveformFP(t, w, (0.0, 1.0, -0.6, 0.6, 48, 64))
         wf2.calcpdf(lambdav=0.04, method="Enumerate")
         assert np.median(np.abs(wf.pdf - wf2.pdf)) < 0.05
+
+
+class TestEMDEdgeCases:
+    def test_sub_eps_masses_from_fingerprint_tails(self, rng):
+        # regression: normalized fingerprint densities carry exp tails
+        # below 1e-14; the solver previously stranded them (status 2)
+        # because its seed gate used a per-node epsilon while termination
+        # tracked the global remaining mass
+        from waveform_ot_tpu.ops import make_density_2d
+        from waveform_ot_tpu.ops.pot_bridge import wasser_pot
+
+        n = 12
+        gx, gy = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n))
+        pos = np.stack([gx, gy], axis=-1)
+        d1 = (gx - 0.3) ** 2 + (gy - 0.4) ** 2
+        d2 = (gx - 0.6) ** 2 + (gy - 0.5) ** 2
+        src = make_density_2d(jnp.asarray(np.exp(-d1 / 0.02)),
+                              jnp.asarray(pos))
+        tgt = make_density_2d(jnp.asarray(np.exp(-d2 / 0.02)),
+                              jnp.asarray(pos))
+        assert float(np.min(np.asarray(src.pdf))) < 1e-14  # tails present
+        w, plan = wasser_pot(src, tgt, "W2", returnplan=True,
+                             backend="native")
+        assert np.isfinite(w) and w > 0
+        np.testing.assert_allclose(plan.sum(1),
+                                   np.asarray(src.pdf).ravel(), atol=1e-11)
+        np.testing.assert_allclose(plan.sum(0),
+                                   np.asarray(tgt.pdf).ravel(), atol=1e-11)
+
+    def test_max_iter_honored(self, rng):
+        n = 30
+        a = rng.random(n) + 0.01
+        a /= a.sum()
+        b = rng.random(n) + 0.01
+        b /= b.sum()
+        C = rng.random((n, n))
+        with pytest.raises(RuntimeError):
+            native.emd(a, b, C, max_iter=2)  # far too few augmentations
+        v, _ = native.emd(a, b, C)  # default cap succeeds
+        assert np.isfinite(v)
+
+    def test_unknown_distfunc_string_raises(self, rng):
+        from waveform_ot_tpu.ops import errors, make_density_1d
+        from waveform_ot_tpu.ops.pot_bridge import wasser_pot
+
+        src = make_density_1d(jnp.array(rng.random(4) + 0.1),
+                              jnp.linspace(0, 1, 4))
+        with pytest.raises(errors.UnknownOTDistanceTypeError):
+            wasser_pot(src, src, "W12", backend="native")

@@ -260,12 +260,28 @@ class TestDistfuncDispatch:
         assert float(w_take) == float(w_hot)  # bit-exact (HIGHEST precision)
 
 
+def _default_ot_backend_available() -> bool:
+    from waveform_ot_tpu import native
+    from waveform_ot_tpu.ops.pot_bridge import HAVE_POT
+
+    return HAVE_POT or native.available()
+
+
+def _default_fmm_backend_available() -> bool:
+    from waveform_ot_tpu import native
+    from waveform_ot_tpu.ops.fmm import HAVE_SKFMM
+
+    return HAVE_SKFMM or native.available()
+
+
 class TestOptionalBridges:
     """The bridges run on the native C++ solvers by default ('auto'
     backend); the reference's raise-when-absent behaviour is preserved
     for backend='pot'/'skfmm' (OTlib.py:24-28, FingerprintLib.py:139-141).
     Numerical validation of the native solvers lives in test_native.py."""
 
+    @pytest.mark.skipif(not _default_ot_backend_available(),
+                        reason="no POT and no native toolchain")
     def test_wasser_pot_runs_on_default_backend(self, rng):
         from waveform_ot_tpu.ops import make_density_1d
         from waveform_ot_tpu.ops.pot_bridge import wasser_pot
@@ -277,6 +293,8 @@ class TestOptionalBridges:
         np.testing.assert_allclose(plan.sum(1), np.asarray(src.pdf),
                                    atol=1e-12)
 
+    @pytest.mark.skipif(not _default_ot_backend_available(),
+                        reason="no POT and no native toolchain")
     def test_sinkhorn_pot_runs_on_default_backend(self, rng):
         from waveform_ot_tpu.ops import make_density_1d
         from waveform_ot_tpu.ops.pot_bridge import sinkhorn_pot
@@ -304,6 +322,8 @@ class TestOptionalBridges:
             with pytest.raises(errors.POTLibraryError):
                 wasser_pot(src, src, "W2", backend="pot")
 
+    @pytest.mark.skipif(not _default_fmm_backend_available(),
+                        reason="no skfmm and no native toolchain")
     def test_fmm_runs_on_default_backend(self):
         from waveform_ot_tpu.ops.fmm import distance_field_fmm
 

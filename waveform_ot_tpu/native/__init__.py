@@ -77,7 +77,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int),
         ]
         lib.wot_fmm_distance.restype = ctypes.c_int
         lib.wot_fmm_distance.argtypes = [
@@ -105,7 +105,8 @@ def _as_c(a: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(a, dtype=np.float64)
 
 
-def emd(a, b, cost, max_ratio_check: float = 1e-6):
+def emd(a, b, cost, max_ratio_check: float = 1e-6,
+        max_iter: int | None = None):
     """Exact optimal transport between discrete masses (native solver).
 
     Solves min <F, cost> s.t. F 1 = a, F^T 1 = b, F >= 0 by successive
@@ -117,6 +118,8 @@ def emd(a, b, cost, max_ratio_check: float = 1e-6):
       a: (n,) non-negative source masses.
       b: (m,) non-negative target masses.
       cost: (n, m) pairwise cost matrix.
+      max_iter: augmentation cap (like POT's numItermax); None selects the
+        solver's internal bound n*m + n + m + 64.
 
     Returns:
       (value, plan): the optimal cost ``sum(plan * cost)`` and the (n, m)
@@ -145,7 +148,7 @@ def emd(a, b, cost, max_ratio_check: float = 1e-6):
     value = lib.wot_emd(
         n, m, a.ctypes.data_as(dp), b.ctypes.data_as(dp),
         cost.ctypes.data_as(dp), plan.ctypes.data_as(dp),
-        ctypes.byref(status))
+        0 if max_iter is None else int(max_iter), ctypes.byref(status))
     if status.value != 0:
         raise RuntimeError(f"wot_emd failed with status {status.value}")
     return value, plan

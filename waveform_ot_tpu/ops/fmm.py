@@ -35,12 +35,6 @@ except ImportError:  # pragma: no cover - environment without skfmm
     HAVE_SKFMM = False
 
 
-def _have_native() -> bool:
-    from waveform_ot_tpu import native
-
-    return native.available()
-
-
 def signed_indicator(t, w, tgrid, ugrid):
     """The FMM seed field phi: +1 above the grid-interpolated waveform,
     -1 on/below (FingerprintLib.py:142-146). Pure NumPy — also used by

@@ -61,13 +61,14 @@ def _pairwise(a, b, power):
 
 def _cost(source, target, distfunc):
     if isinstance(distfunc, str):
-        power = 2 if distfunc == "W2" else 1
+        if distfunc not in ("W1", "W2"):
+            raise errors.UnknownOTDistanceTypeError(distfunc)
         a = np.asarray(source.x, dtype=np.float64).reshape(source.n, -1)
         b = np.asarray(target.x, dtype=np.float64).reshape(target.n, -1)
         if distfunc == "W1":
             # reference metric is cityblock for W1 (OTlib.py:913)
             return np.sum(np.abs(a[:, None, :] - b[None, :, :]), axis=2)
-        return _pairwise(a, b, power)
+        return _pairwise(a, b, 2)
     d = np.asarray(distfunc)
     if d.ndim != 2:
         raise errors.UnknownOTDistanceTypeError(distfunc)
@@ -94,7 +95,7 @@ def wasser_pot(source, target, distfunc="W2", returnplan=False,
     else:
         from waveform_ot_tpu import native
 
-        _, G0 = native.emd(a, b, M)
+        _, G0 = native.emd(a, b, M, max_iter=maxiters)
     out = [float(np.sum(G0 * A))]
     if returnplan:
         out.append(G0)
