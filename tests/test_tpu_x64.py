@@ -78,3 +78,53 @@ def test_ricker_pipeline_x64_on_tpu_matches_cpu():
     assert abs(tpu["v"] - cpu["v"]) <= 1e-10 * max(1.0, abs(cpu["v"]))
     np.testing.assert_allclose(np.asarray(tpu["g"]), np.asarray(cpu["g"]),
                                rtol=0, atol=1e-10)
+
+
+_LOC_PIPELINE = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+{platform_setup}
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from __graft_entry__ import _build_problem
+from waveform_ot_tpu.inversion import InvOptions, loc_cmt_value_and_grad
+
+loc, cfg, prob = _build_problem(nr=6, impl="jnp", dtype=jnp.float64)
+opts = InvOptions(loc=True, cmt=False, mistype="OT")
+m = loc + jnp.asarray([4.0, -3.0, 2.0], jnp.float64)
+v, g = jax.jit(lambda mm: loc_cmt_value_and_grad(
+    mm, prob, opts, cfg, impl="jnp"))(m)
+print(json.dumps({{"backend": jax.default_backend(), "v": float(v),
+                   "g": [float(x) for x in g]}}))
+"""
+
+
+@pytest.mark.tpu_x64
+def test_loc_cmt_pipeline_x64_on_tpu_matches_cpu():
+    # the flagship batched objective (6 stations x 3 comps), x64 on real
+    # TPU vs CPU x64 — same contract as the Ricker spot check above
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+
+    def run(platform_setup, env):
+        code = _LOC_PIPELINE.format(repo=repo, platform_setup=platform_setup)
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=900)
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-2000:])
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    try:
+        tpu = run("", env)
+    except (RuntimeError, subprocess.TimeoutExpired) as e:
+        pytest.skip(f"TPU backend unavailable for x64 spot check: {e}")
+    if tpu["backend"] != "tpu":
+        pytest.skip(f"no TPU in this environment (got {tpu['backend']})")
+
+    cpu = run('jax.config.update("jax_platforms", "cpu")', dict(os.environ))
+    assert cpu["backend"] == "cpu"
+    assert abs(tpu["v"] - cpu["v"]) <= 1e-10 * max(1.0, abs(cpu["v"]))
+    np.testing.assert_allclose(np.asarray(tpu["g"]), np.asarray(cpu["g"]),
+                               rtol=1e-9, atol=1e-12)

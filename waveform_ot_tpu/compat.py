@@ -315,6 +315,7 @@ class waveformFP:
         self.dcalc = True
 
     def _store_field(self, fld):
+        self._fld = fld  # full DistanceField (viz.plot_rays consumes it)
         self.dfield = np.asarray(fld.d)
         self.irays = np.asarray(fld.iclose).ravel()
         self.lrays = np.asarray(fld.lam).ravel()
