@@ -264,7 +264,7 @@ def run_stage(name: str) -> dict:
     _setup_cache()
     on_tpu = jax.default_backend() == "tpu"
     impl = "auto" if on_tpu else "jnp"
-    n64, nr_ricker, n1024 = (50, 20, 10) if on_tpu else (5, 2, 1)
+    n64, nr_ricker, n1024 = (200, 100, 20) if on_tpu else (5, 2, 1)
     n_scan, n_ms, n_bigfp = (3, 2, 20) if on_tpu else (1, 1, 1)
     if name == "loc64":
         per, _, _ = bench_loc_cmt(64, impl, n64)

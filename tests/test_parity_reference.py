@@ -399,3 +399,139 @@ class TestDrvRpd2xyzParity:
         got = _drv_to_cartesian(drv, deriv, stations, geometry=geometry)
         assert got.shape == ref.shape == ((9 if mt else 3),) + deriv[:, 0].shape
         np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+class TestModuleUtilityParity:
+    """Live parity of the module-level FingerprintLib/OTlib utilities
+    added to compat (wavedistv/wavederiv/NNsearch/wPDFderiv/
+    BuildLinProg/SinkhornAB/distfunction) against the reference itself."""
+
+    def _pair(self, reference_libs, rng, nt=23, nug=16, ntg=18):
+        from waveform_ot_tpu import compat
+
+        fp = reference_libs["FingerprintLib"]
+        t = np.linspace(0.0, 2.0, nt)
+        w = 0.6 * np.sin(3 * t) + 0.05 * rng.standard_normal(nt)
+        grid = (0.0, 2.0, -1.0, 1.0, nug, ntg)
+        wf_r = fp.waveformFP(t, w, grid)
+        wf_o = compat.waveformFP(t, w, grid)
+        Xn, Yn = np.meshgrid(np.linspace(*wf_r.tlimnfp, ntg),
+                             np.linspace(*wf_r.ulimnfp, nug))
+        pts = np.vstack((Xn.flatten(), Yn.flatten())).T
+        return fp, wf_r, wf_o, pts
+
+    def test_wavedistv(self, reference_libs, rng):
+        from waveform_ot_tpu import compat
+
+        fp, wf_r, wf_o, pts = self._pair(reference_libs, rng)
+        d_r, i_r, x_r, l_r = fp.wavedistv(pts, wf_r)
+        d_o, i_o, x_o, l_o = compat.wavedistv(pts, wf_o)
+        np.testing.assert_allclose(d_o, d_r, atol=1e-12)
+        np.testing.assert_array_equal(i_o, i_r)
+        np.testing.assert_allclose(x_o, x_r, atol=1e-12)
+        np.testing.assert_allclose(l_o, l_r, atol=1e-12)
+
+    def test_wavedist_single(self, reference_libs, rng):
+        from waveform_ot_tpu import compat
+
+        fp, wf_r, wf_o, pts = self._pair(reference_libs, rng)
+        for p in pts[::37]:
+            d_r, i_r, x_r = fp.wavedist(p, wf_r)
+            d_o, i_o, x_o = compat.wavedist(p, wf_o)
+            assert abs(d_o - d_r) < 1e-12 and i_o == i_r
+            np.testing.assert_allclose(x_o, x_r, atol=1e-12)
+
+    def test_wavederiv(self, reference_libs, rng):
+        from waveform_ot_tpu import compat
+
+        fp, wf_r, wf_o, pts = self._pair(reference_libs, rng)
+        d_r, i_r, x_r, l_r = fp.wavedistv(pts, wf_r)
+        dd_r = fp.wavederiv(d_r, i_r, x_r, l_r, pts, wf_r)
+        d_o, i_o, x_o, l_o = compat.wavedistv(pts, wf_o)
+        dd_o = compat.wavederiv(d_o, i_o, x_o, l_o, pts, wf_o)
+        # the reference composes dlam terms that are analytically zero in
+        # dddy (envelope form); agreement is to round-off of that sum
+        np.testing.assert_allclose(dd_o, dd_r, atol=1e-9)
+
+    def test_nnsearch(self, reference_libs, rng):
+        from waveform_ot_tpu import compat
+
+        fp, wf_r, wf_o, pts = self._pair(reference_libs, rng)
+        d_r, i_r, l_r, x_r = fp.NNsearch(wf_r)
+        d_o, i_o, l_o, x_o = compat.NNsearch(wf_o)
+        np.testing.assert_allclose(d_o, d_r, atol=1e-12)
+        np.testing.assert_array_equal(i_o, i_r)
+        np.testing.assert_allclose(np.asarray(l_o).ravel(),
+                                   np.asarray(l_r).ravel(), atol=1e-12)
+        np.testing.assert_allclose(x_o, x_r, atol=1e-12)
+
+    def test_wpdfderiv(self, reference_libs, rng):
+        from waveform_ot_tpu import compat
+
+        fp, wf_r, wf_o, pts = self._pair(reference_libs, rng)
+        lam = 0.05
+        d_r, i_r, x_r, l_r = fp.wavedistv(pts, wf_r)
+        dd_r = fp.wavederiv(d_r, i_r, x_r, l_r, pts, wf_r)
+        pdf = np.exp(-np.abs(d_r) / lam)
+        chain = np.ones_like(pdf)
+        s_r = fp.wPDFderiv(pdf, dd_r, lam, i_r, wf_r, chain)
+        s_o = compat.wPDFderiv(pdf, dd_r, lam, i_r, wf_o, chain)
+        np.testing.assert_allclose(s_o, s_r, atol=1e-12)
+
+    def test_check_fdderiv(self, reference_libs, rng):
+        from waveform_ot_tpu import compat
+
+        fp, wf_r, wf_o, pts = self._pair(reference_libs, rng)
+        wf_r.calcpdf(lambdav=0.05)
+        wf_o.calcpdf(lambdav=0.05)
+        k = 77
+        i_r, f0_r, f1_r = fp.check_FDderiv(wf_r, k, du=1e-5)
+        i_o, f0_o, f1_o = compat.check_FDderiv(wf_o, k, du=1e-5)
+        assert i_o == i_r
+        assert abs(f0_o - f0_r) < 1e-7 and abs(f1_o - f1_r) < 1e-7
+
+    def test_buildlinprog_optimum(self, reference_libs, rng):
+        from scipy.optimize import linprog
+
+        from waveform_ot_tpu import compat
+
+        ot = reference_libs["OTlib"]
+        f = rng.random(5) + 0.1
+        g = rng.random(5) + 0.1
+        x = np.linspace(0, 1, 5)
+        src_r = ot.OTpdf((f, x))
+        tgt_r = ot.OTpdf((g, x))
+        d_r, A_r, b_r = ot.BuildLinProg(src_r, tgt_r, distfunc="W2")
+        src_o = compat.OTpdf((f, x))
+        tgt_o = compat.OTpdf((g, x))
+        d_o, A_o, b_o = compat.BuildLinProg(src_o, tgt_o, "W2")
+        assert np.shape(d_o) == np.shape(d_r)  # both (n, n) matrices
+        res_r = linprog(np.ravel(d_r), A_eq=A_r, b_eq=b_r, bounds=(0, None),
+                        method="highs")
+        res_o = linprog(np.ravel(d_o), A_eq=A_o, b_eq=b_o, bounds=(0, None),
+                        method="highs")
+        assert res_r.success and res_o.success
+        assert abs(res_r.fun - res_o.fun) < 1e-10
+
+    def test_distfunction(self, reference_libs, rng):
+        from waveform_ot_tpu import compat
+
+        ot = reference_libs["OTlib"]
+        A = rng.random((6, 7))
+        ii = np.array([0, 2, 5])
+        jj = np.array([1, 6, 3])
+        np.testing.assert_array_equal(
+            compat.distfunction(ii, jj, A), ot.distfunction(ii, jj, A))
+
+    def test_sinkhorn_ab(self, reference_libs, rng):
+        from waveform_ot_tpu import compat
+
+        ot = reference_libs["OTlib"]
+        mu0 = rng.random((8, 8)) + 0.1
+        mu0 /= mu0.sum()
+        mu1 = rng.random((8, 8)) + 0.1
+        mu1 /= mu1.sum()
+        d_r, v_r, w_r = ot.SinkhornAB((mu0, mu1), 1.0)
+        d_o, v_o, w_o = compat.SinkhornAB((mu0, mu1), 1.0)
+        assert abs(d_o - d_r) < 1e-8 * max(1.0, abs(d_r))
+        np.testing.assert_allclose(v_o, v_r, rtol=1e-6, atol=1e-10)

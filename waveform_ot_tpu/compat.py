@@ -276,10 +276,31 @@ class waveformFP:
         self._fpbox = None if fpgrid is None else tuple(fpgrid[0:4])
         delt = self.tant * (t1 - t0)
         self.tlimn = ((t[0] - t0) / delt, (t[-1] - t0) / delt)
+        self.ulimn = (0.0, 1.0)
         self.p = np.array([np.asarray(t), np.asarray(w)]).T
         verts = normalize_vertices(self._t, self._w, self._win)
         self.pn = np.asarray(verts)
+        # fingerprint-box limits + segment geometry (reference attributes,
+        # FingerprintLib.py:96-113 — module utilities like wavedistv and
+        # NNsearch read these straight off the object)
+        if fpgrid is None:
+            self.tlimfp, self.ulimfp = self.tlim, self.ulim
+            self.tlimnfp, self.ulimnfp = self.tlimn, self.ulimn
+        else:
+            fp_t0, fp_t1, fp_u0, fp_u1 = fpgrid[0:4]
+            self.tlimfp = (fp_t0, fp_t1)
+            self.ulimfp = (fp_u0, fp_u1)
+            self.tlimnfp = ((fp_t0 - t0) / delt, (fp_t1 - t0) / delt)
+            self.ulimnfp = ((fp_u0 - u0) / (u1 - u0),
+                            (fp_u1 - u0) / (u1 - u0))
+        self.delgrid = np.array(
+            [(self.ulimnfp[1] - self.ulimnfp[0]) / self.nug,
+             (self.tlimnfp[1] - self.tlimnfp[0]) / self.ntg])
+        self.x0 = self.pn[:-1].reshape(1, self.nt - 1, 2)
+        self.delta_n = self.pn[1:] - self.pn[:-1]
+        self.lsq_n = np.sum(self.delta_n * self.delta_n, axis=1)
         self.dcalc = False
+        self.drcalc = False
 
     def calcpdf(self, q=None, lambdav=0.04, deriv=False, method="Enumerate",
                 verbose=False, nsegs=0):
@@ -319,3 +340,478 @@ class waveformFP:
         self.dfield = np.asarray(fld.d)
         self.irays = np.asarray(fld.iclose).ravel()
         self.lrays = np.asarray(fld.lam).ravel()
+        self.xrays = (self.pn[:-1][self.irays]
+                      + self.lrays[:, None] * self.delta_n[self.irays])
+
+
+# ---------------------------------------------------------------------------
+# module-level FingerprintLib utilities (reference API parity)
+# ---------------------------------------------------------------------------
+
+
+def _grid_points_n(wf) -> np.ndarray:
+    """Normalized fingerprint grid points, flattened row-major
+    (the reference's Xn/Yn meshgrid + vstack idiom)."""
+    tg = np.linspace(wf.tlimnfp[0], wf.tlimnfp[1], wf.ntg)
+    ug = np.linspace(wf.ulimnfp[0], wf.ulimnfp[1], wf.nug)
+    tt, uu = np.meshgrid(tg, ug)
+    return np.stack([tt.ravel(), uu.ravel()], axis=1)
+
+
+def wavedist(point, wf):
+    """Nearest distance from one point to the polyline
+    (reference wavedist, FingerprintLib.py:445-454).
+
+    Returns (d, iclose, xclose) in normalized coordinates.
+    """
+    d, i, xc, _ = wavedistv(np.asarray(point).reshape(1, 2), wf)
+    return float(d[0]), int(i[0]), xc[0]
+
+
+def wavedistv(points, wf):
+    """Vectorized nearest segment distance for (k, 2) points (reference
+    wavedistv, FingerprintLib.py:456-474). Returns (d, iclose, xclose,
+    lam) with first-argmin tie-breaking like the reference."""
+    p = np.asarray(points, dtype=float).reshape(-1, 2)
+    x0 = np.asarray(wf.pn)[:-1]
+    c = np.asarray(wf.delta_n)
+    b = p[:, None, :] - x0[None, :, :]
+    lam = np.clip(np.einsum("kij,ij->ki", b, c) / np.asarray(wf.lsq_n),
+                  0.0, 1.0)
+    ds = b - c[None] * lam[..., None]
+    dsq = np.einsum("kij,kij->ki", ds, ds)
+    iclose = np.argmin(dsq, axis=1)
+    rows = np.arange(p.shape[0])
+    lsel = lam[rows, iclose]
+    xclose = x0[iclose] + lsel[:, None] * c[iclose]
+    return np.sqrt(dsq[rows, iclose]), iclose, xclose, lsel
+
+
+def wavederiv(d, irays, xrays, lrays, points, wf, verbose=False):
+    """d(distance)/d(waveform amplitude) for each query point (reference
+    wavederiv, FingerprintLib.py:478-514).
+
+    Envelope form: at the winning segment the projection parameter's
+    variation is orthogonal to the ray, so dd/dy0 = (1-lam) * ray_u and
+    dd/dy1 = lam * ray_u with ray = (x* - p)/d, then /du to undo the
+    amplitude normalization — identical to the clip-aware chain the
+    reference composes term by term (its dlam contributions cancel).
+
+    verbose=True additionally returns (dlamdy0, dlamdy1, dxdy0, dxdy1);
+    the dlam values here are the analytically correct derivatives of the
+    unclipped projection parameter (the reference's own expressions at
+    FingerprintLib.py:497,503 carry an extra p.c term which cancels from
+    dddy either way), zeroed at the clip like the reference.
+    """
+    p = np.asarray(points, dtype=float).reshape(-1, 2)
+    dis = np.asarray(d, dtype=float).reshape(-1)
+    lr = np.asarray(lrays, dtype=float).reshape(-1)
+    ir = np.asarray(irays).reshape(-1)
+    safe = np.where(dis > 0, dis, 1.0)
+    dddx = (np.asarray(xrays).reshape(-1, 2) - p) / safe[:, None]
+    du = wf.ulim[1] - wf.ulim[0]
+    dddy0 = (1.0 - lr) * dddx[:, 1] / du
+    dddy1 = lr * dddx[:, 1] / du
+    out = np.stack([dddy0, dddy1], axis=1)
+    if not verbose:
+        return out
+    x0 = np.asarray(wf.pn)[:-1][ir]
+    c = np.asarray(wf.delta_n)[ir]
+    lsq = np.asarray(wf.lsq_n)[ir]
+    b = p - x0
+    interior = (lr > 0.0) & (lr < 1.0)
+    # lam = b.c/|c|^2; endpoint y0 moves x0 by e_u and c by -e_u
+    dlamdy0 = np.where(interior, (2.0 * lr * c[:, 1] - c[:, 1] - b[:, 1])
+                       / lsq, 0.0)
+    dlamdy1 = np.where(interior, (b[:, 1] - lr * c[:, 1]) / lsq, 0.0)
+    e_u = np.array([0.0, 1.0])
+    dxdy0 = (1.0 - lr)[:, None] * e_u + dlamdy0[:, None] * c
+    dxdy1 = lr[:, None] * e_u + dlamdy1[:, None] * c
+    return out, dlamdy0, dlamdy1, dxdy0, dxdy1
+
+
+def NNsearch(wf, ni=0):
+    """Vertex-NN distance field (reference NNsearch,
+    FingerprintLib.py:387-443). Returns (dfield, irays, lrays, xrays);
+    ``ni`` resamples the polyline with ni extra vertices per segment
+    before the NN query (the reference's sub-sampling refinement)."""
+    from waveform_ot_tpu.ops.fingerprint import distance_field_nn
+
+    tg = jnp.asarray(np.linspace(wf.tlimnfp[0], wf.tlimnfp[1], wf.ntg))
+    ug = jnp.asarray(np.linspace(wf.ulimnfp[0], wf.ulimnfp[1], wf.nug))
+    verts = jnp.asarray(np.asarray(wf.pn))
+    if ni:
+        nt_f = wf.nt + (wf.nt - 1) * ni
+        tf = np.linspace(wf.pn[0, 0], wf.pn[-1, 0], nt_f)
+        uf = np.interp(tf, wf.pn[:, 0], wf.pn[:, 1])
+        fld = distance_field_nn(jnp.asarray(np.stack([tf, uf], 1)), tg, ug)
+        # map refined segment indices back to original segments
+        iorig = (np.asarray(fld.iclose).ravel() // (ni + 1)).astype(int)
+        pts = _grid_points_n(wf)
+        d, irays, xrays, lrays = _resolve_segments(pts, wf, iorig)
+        return d.reshape(wf.nug, wf.ntg), irays, lrays, xrays
+    fld = distance_field_nn(verts, tg, ug)
+    x0 = np.asarray(wf.pn)[:-1]
+    c = np.asarray(wf.delta_n)
+    ir = np.asarray(fld.iclose).ravel()
+    lr = np.asarray(fld.lam).ravel()
+    xrays = x0[ir] + lr[:, None] * c[ir]
+    return (np.asarray(fld.d), ir, lr, xrays)
+
+
+def _resolve_segments(points, wf, candidates):
+    """Exact distance restricted to a candidate segment (+/- neighbours)
+    per point — the reference's segm/segp adjacent-pair resolve."""
+    x0 = np.asarray(wf.pn)[:-1]
+    c = np.asarray(wf.delta_n)
+    lsq = np.asarray(wf.lsq_n)
+    nseg = x0.shape[0]
+    best_d = np.full(points.shape[0], np.inf)
+    best_i = np.zeros(points.shape[0], dtype=int)
+    best_l = np.zeros(points.shape[0])
+    for off in (-1, 0, 1):
+        i = np.clip(candidates + off, 0, nseg - 1)
+        b = points - x0[i]
+        lam = np.clip(np.einsum("kj,kj->k", b, c[i]) / lsq[i], 0.0, 1.0)
+        ds = b - c[i] * lam[:, None]
+        dsq = np.einsum("kj,kj->k", ds, ds)
+        better = dsq < best_d
+        best_d = np.where(better, dsq, best_d)
+        best_i = np.where(better, i, best_i)
+        best_l = np.where(better, lam, best_l)
+    xrays = x0[best_i] + best_l[:, None] * c[best_i]
+    return np.sqrt(best_d), best_i, best_l, xrays
+
+
+def check_FDderiv(wf, k, du=0.001, verbose=False):
+    """Central-difference check of the distance-field derivative at grid
+    point ``k`` (reference check_FDderiv, FingerprintLib.py:516-572):
+    perturb the two endpoints of k's nearest segment and difference the
+    recomputed field. Returns (segment, dddy0_fd, dddy1_fd)."""
+    t = np.asarray(wf.p)[:, 0]
+    w = np.asarray(wf.p)[:, 1]
+    i = int(np.asarray(wf.irays).reshape(-1)[k])
+    step = du * abs(w[i]) if w[i] != 0 else du
+    pts = _grid_points_n(wf)
+    grid = (wf.tlim[0], wf.tlim[1], wf.ulim[0], wf.ulim[1], wf.nug, wf.ntg)
+
+    def field_at(j, s):
+        wp = np.array(w, copy=True)
+        wp[j] += s
+        wfp = waveformFP(t, wp, grid, tantheta=wf.tant)
+        return wavedistv(pts, wfp)[0][k]
+
+    d0 = (field_at(i, step) - field_at(i, -step)) / (2 * step)
+    d1 = (field_at(i + 1, step) - field_at(i + 1, -step)) / (2 * step)
+    if verbose:
+        print(f"check_FDderiv: point {k} segment {i} fd=({d0}, {d1})")
+    return i, d0, d1
+
+
+def check_FDchain(wf, lambdav, dufd=0.0001):
+    """Central-difference derivative of sum(exp(-d/lambda)) w.r.t. each
+    waveform amplitude (reference check_FDchain,
+    FingerprintLib.py:574-610). Like the reference, returns the LAST
+    sample's FD value (its loop overwrites; preserved quirk)."""
+    t = np.asarray(wf.p)[:, 0]
+    w = np.asarray(wf.p)[:, 1]
+    pts = _grid_points_n(wf)
+    grid = (wf.tlim[0], wf.tlim[1], wf.ulim[0], wf.ulim[1], wf.nug, wf.ntg)
+
+    def total(j, s):
+        wp = np.array(w, copy=True)
+        wp[j] += s
+        wfp = waveformFP(t, wp, grid)
+        return np.sum(np.exp(-np.abs(wavedistv(pts, wfp)[0]) / lambdav))
+
+    dsdyfd = 0.0
+    for j in range(wf.nt):
+        dsdyfd = (total(j, dufd) - total(j, -dufd)) / (2 * dufd)
+    return dsdyfd
+
+
+def wPDFderiv(pdf, dddy, lambdav, irays, wf, chainmatrix):
+    """Chain rule from the density field to the waveform amplitudes
+    (reference wPDFderiv, FingerprintLib.py:612-622): segment-endpoint
+    scatter of dddy weighted by pdf*chainmatrix, as two bincounts instead
+    of the reference's per-sample masked loop."""
+    pdfrow = np.asarray(pdf).ravel() * np.asarray(chainmatrix).ravel()
+    ir = np.asarray(irays).ravel()
+    dd = np.asarray(dddy)
+    s = np.bincount(ir, weights=dd[:, 0] * pdfrow, minlength=wf.nt)
+    s += np.bincount(ir + 1, weights=dd[:, 1] * pdfrow, minlength=wf.nt + 1)[:wf.nt]
+    return -s[:wf.nt] / lambdav
+
+
+# ---------------------------------------------------------------------------
+# module-level OTlib utilities (reference API parity)
+# ---------------------------------------------------------------------------
+
+
+def BuildLinProg(source: OTpdf, target: OTpdf, distfunc=None, args=None):
+    """LP data (d, A_eq, b_eq) for exact OT (reference BuildLinProg,
+    OTlib.py:454-463)."""
+    from waveform_ot_tpu.ops.validate import build_linprog
+
+    if distfunc is None:
+        raise errors.UnknownOTDistanceTypeError(distfunc)
+    p = 2 if distfunc == "W2" else 1
+    c, A_eq, b_eq = build_linprog(source.pdf, source.x, target.pdf,
+                                  target.x, p=p)
+    # the reference returns the cost as an (n_src, n_tgt) matrix whose
+    # ravel is the LP objective (OTlib.py:200-217 assembles d[j, i] with
+    # variable x[j*n+i]); mirror that shape
+    return np.asarray(c).reshape(source.n, target.n), A_eq, b_eq
+
+
+def distfunction(iarr, jarr, distfunction_args, proj=-1, deriv=False):
+    """Precomputed-cost lookup used by the user-dfunc wasser path
+    (reference distfunction, OTlib.py:574-594): plain (i, j) indexing for
+    1-D, or through the per-slice sort permutations for the sliced form."""
+    if isinstance(distfunction_args, np.ndarray):
+        A = distfunction_args
+        if proj != -1:
+            raise errors.UnknownOTDistanceTypeError(
+                "sliced lookup needs (source, target, A) args")
+        return A[np.asarray(iarr), np.asarray(jarr)]
+    source, target, A = distfunction_args
+    if proj == -1:
+        return A[np.asarray(iarr), np.asarray(jarr)]
+    lf = np.asarray(source.psorted)[proj][np.asarray(iarr)]
+    lg = np.asarray(target.psorted)[proj][np.asarray(jarr)]
+    return A[lf, lg]
+
+
+def SinkhornAB(mu, sigma, verbose=False):
+    """Gaussian-kernel Sinkhorn on a pair of grid densities (reference
+    SinkhornAB, OTlib.py:943-954). Returns (dist, v, w)."""
+    from waveform_ot_tpu.ops.sinkhorn import sinkhorn_gaussian
+
+    dist, v, w = sinkhorn_gaussian(jnp.asarray(mu[0]), jnp.asarray(mu[1]),
+                                   gamma=sigma, iters=5001)
+    if verbose:
+        print("Sinkhorn distance: " + str(float(dist)))
+    return float(dist), np.asarray(v), np.asarray(w)
+
+
+def filter(image, sigma):  # noqa: A001 - reference name (OTlib.py:936)
+    """Constant-mode Gaussian filter, truncate=32 (reference filter)."""
+    from waveform_ot_tpu.ops.sinkhorn import gaussian_filter
+
+    return np.asarray(gaussian_filter(jnp.asarray(image), sigma))
+
+
+def trim_axs(axs, N):
+    """Trim a subplot-axes array to N entries (reference trim_axs,
+    OTlib.py:1322-1328)."""
+    axs = axs.flat
+    for ax in axs[N:]:
+        ax.remove()
+    return axs[:N]
+
+
+# ---------------------------------------------------------------------------
+# reference-signature plot wrappers (viz backs them; figures saved when a
+# filename is given, matching the reference's filename='Null'/'no' idiom)
+# ---------------------------------------------------------------------------
+
+
+def _viz_plt():
+    from waveform_ot_tpu.viz import _plt
+
+    return _plt()
+
+
+def plotWasser(xp, Fp, Gp, t, IF, IG, x, IGF, xmIFGsq, iFGdiff,
+               filename="Null"):
+    """Six-panel CDF/inverse-CDF/transport-map figure from precomputed
+    curves (reference plotWasser, OTlib.py:508-572). viz.plot_wasser_panels
+    computes the same panels directly from a pair of densities."""
+    plt = _viz_plt()
+    fig, axs = plt.subplots(3, 2, figsize=(9, 10))
+    panels = [
+        (xp, [(Fp, "$F(x)$"), (Gp, "$G(x)$")], "CDFs"),
+        (t, [(IF, "$F^{-1}(t)$"), (IG, "$G^{-1}(t)$")], "Inverse CDFs"),
+        (x, [(IGF, "$G^{-1}(F(x))$")], "Transport map"),
+        (x, [(x - IGF, "$x - G^{-1}(F(x))$")], "Displacement"),
+        (x, [(xmIFGsq, "$|x - G^{-1}(F(x))|^2$")], "Squared displacement"),
+        (t, [(iFGdiff, "$F^{-1}(t) - G^{-1}(t)$")], "Quantile difference"),
+    ]
+    for ax, (ox, curves, title) in zip(axs.flat, panels):
+        for cy, lab in curves:
+            ax.plot(np.asarray(ox), np.asarray(cy), label=lab)
+        ax.set_title(title)
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    if filename != "Null":
+        fig.savefig(filename)
+    plt.close(fig)
+
+
+def plotOT1D(source: OTpdf, target: OTpdf, filename="Null",
+             returnplan=False):
+    """1-D transport-plan figure (reference plotOT1D, OTlib.py:1388-1424):
+    the optimal plan matrix with the two marginals alongside."""
+    from waveform_ot_tpu.ops.wasser import transport_plan_1d
+    from waveform_ot_tpu.viz import plot_transport_plan
+
+    H = np.asarray(transport_plan_1d(jnp.asarray(source.pdf),
+                                     jnp.asarray(source.x),
+                                     jnp.asarray(target.pdf),
+                                     jnp.asarray(target.x)))
+    plot_transport_plan(H, source.density, target.density,
+                        filename=None if filename == "Null" else filename)
+    if returnplan:
+        return H
+
+
+def plot_optimal_transform_frames(source: OTpdf, target: OTpdf, frames,
+                                  plotsum=False, filename=None):
+    """Displacement-interpolation frames (reference
+    plot_optimal_transform_frames, OTlib.py:1330-1386)."""
+    from waveform_ot_tpu.viz import plot_transport_frames
+
+    n = frames if isinstance(frames, int) else len(frames)
+    plot_transport_frames(source.density, target.density, nframes=n,
+                          filename=filename)
+
+
+def plot_phi(X, Y, phi, t, waveform, xl, yl, filename=None):
+    """Zero contour of the FMM indicator (reference plot_phi,
+    FingerprintLib.py:663-675) — reference argument order."""
+    plt = _viz_plt()
+    fig = plt.figure(figsize=(8, 4))
+    plt.xlim(*xl)
+    plt.ylim(*yl)
+    plt.xlabel("t")
+    plt.ylabel("u")
+    plt.contour(X, Y, phi, [0], linewidths=1, colors="grey")
+    plt.contourf(X, Y, phi, [-1, 0, 1], colors=["lightgray", "powderblue"])
+    plt.plot(t, waveform, "-", color="green", lw=0.5)
+    plt.title("Zero contour of $d(u,t)$")
+    if filename:
+        fig.savefig(filename)
+    plt.close(fig)
+
+
+def plot_LS(f, wf, xl, yl, title, col1, col2, aspect=False, filename="no",
+            pdf=False, ncon=10, fxsize=None, fysize=None):
+    """Contoured field + waveform (reference plot_LS,
+    FingerprintLib.py:742-779)."""
+    plt = _viz_plt()
+    fig = plt.figure(figsize=(fxsize or 9, fysize or 9))
+    ax = fig.add_subplot(111)
+    if aspect:
+        ax.set_aspect("equal")
+    tg = np.linspace(wf.tlimnfp[0], wf.tlimnfp[1], wf.ntg)
+    ug = np.linspace(wf.ulimnfp[0], wf.ulimnfp[1], wf.nug)
+    ax.contour(tg, ug, np.asarray(f), ncon, linewidths=0.5, colors=col2)
+    ax.plot(wf.pn[:, 0], wf.pn[:, 1], "-", color=col1, lw=0.7)
+    ax.set_title(title)
+    ax.set_xlabel("t")
+    ax.set_ylabel("u")
+    if filename != "no":
+        fig.savefig(filename)
+    plt.close(fig)
+
+
+def plot_2LS(wf1, wf2, title1, title2, col1, col2, filename="no", pdf=False,
+             ncon=10, fxsize=None, fysize=None, aspect=False):
+    """Side-by-side fingerprint pair (reference plot_2LS,
+    FingerprintLib.py:781-816)."""
+    plt = _viz_plt()
+    fig, axs = plt.subplots(1, 2, figsize=(fxsize or 18, fysize or 9))
+    for ax, wf, title in ((axs[0], wf1, title1), (axs[1], wf2, title2)):
+        if aspect:
+            ax.set_aspect("equal")
+        field = wf.pdf if pdf else wf.dfield
+        tg = np.linspace(wf.tlimnfp[0], wf.tlimnfp[1], wf.ntg)
+        ug = np.linspace(wf.ulimnfp[0], wf.ulimnfp[1], wf.nug)
+        ax.contour(tg, ug, np.asarray(field), ncon, linewidths=0.5,
+                   colors=col2)
+        ax.plot(wf.pn[:, 0], wf.pn[:, 1], "-", color=col1, lw=0.7)
+        ax.set_title(title)
+    if filename != "no":
+        fig.savefig(filename)
+    plt.close(fig)
+
+
+def plot_rays(plotind, wf, title, col1, col2, filename="no", fxsize=None,
+              fysize=None):
+    """Rays from selected grid points to their nearest waveform points
+    (reference plot_rays, FingerprintLib.py:715-740)."""
+    plt = _viz_plt()
+    fig = plt.figure(figsize=(fxsize or 9, fysize or 9))
+    ax = fig.add_subplot(111)
+    ax.set_aspect("equal")
+    pts = _grid_points_n(wf)
+    for kk in np.asarray(plotind).ravel():
+        x1, y1 = wf.xrays[kk]
+        ax.plot([pts[kk, 0], x1], [pts[kk, 1], y1], "b-", lw=0.5)
+        ax.plot(x1, y1, "ro", markersize=2.0)
+    ax.plot(wf.pn[:, 0], wf.pn[:, 1], "-", color="green", lw=0.5)
+    ax.set_title(title)
+    ax.set_xlabel("t")
+    ax.set_ylabel("u")
+    if filename != "no":
+        fig.savefig(filename)
+    plt.close(fig)
+
+
+def plotPDFsurface(pdf, t, ridge, mycmap=None, elev=75, azim=-134,
+                   filename=None):
+    """3-D perspective surface of the fingerprint PDF (reference
+    plotPDFsurface, FingerprintLib.py:641-661)."""
+    from waveform_ot_tpu.viz import plot_density_surface
+
+    pdf = np.asarray(pdf)
+    nu, ntg = pdf.shape
+    tg = np.linspace(0.0, 1.0, ntg)
+    ug = np.linspace(0.0, 1.0, nu)
+    plot_density_surface(pdf, tg, ug, ridge_t=np.asarray(t),
+                         ridge_u=np.asarray(ridge), elev=elev, azim=azim,
+                         cmap=mycmap or "cubehelix_r", filename=filename)
+
+
+def plotMarginals(wfwave, wf: OTpdf, tag="_", outdir="."):
+    """Time/amplitude marginal strip plots saved as Marginal_{u,t}<tag>.png
+    (reference plotMarginals, FingerprintLib.py:818-851)."""
+    import os
+
+    plt = _viz_plt()
+    if wf.calcmarg:
+        wf.setMarginals()
+    for axis, name in ((1, "u"), (0, "t")):
+        fig = plt.figure(figsize=(9, 1))
+        m = wf.marg[axis]
+        plt.plot(m.x, m.pdf)
+        plt.fill_between(m.x, 0, m.pdf)
+        plt.xlim(m.x[0], m.x[-1])
+        plt.tick_params(left=False, bottom=True, labelleft=False,
+                        labelbottom=False)
+        suffix = tag if tag != "-" else ""
+        fig.savefig(os.path.join(outdir, f"Marginal_{name}{suffix}.png"),
+                    dpi=300)
+        plt.close(fig)
+
+
+def plot_RF_SDF(t, RFo, ltype="b-", string="Predicted receiver function",
+                grid=False, legend=False, filename=None):
+    """Waveform preview returning the axis limits (reference plot_RF_SDF,
+    FingerprintLib.py:627-640)."""
+    plt = _viz_plt()
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.set_title(string)
+    ax.set_xlabel("Time, t (s)")
+    ax.set_ylabel("Amplitude, u")
+    ax.grid(grid)
+    if len(RFo) != 0:
+        ax.plot(t, RFo, "-", color="grey", label="Noisy Receiver Function")
+    ax.plot(t, np.zeros(np.shape(RFo)), "--", linewidth=0.5, color="grey")
+    if legend:
+        ax.legend()
+    xl, yl = ax.get_xlim(), ax.get_ylim()
+    if filename:
+        fig.savefig(filename)
+    plt.close(fig)
+    return xl, yl
