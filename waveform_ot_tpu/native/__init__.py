@@ -127,7 +127,7 @@ def emd(a, b, cost, max_ratio_check: float = 1e-6,
 
     Complexity is ~O((n+m) * n * m) with dense Dijkstra passes — exact
     and dependency-free, sized for validation problems (n, m up to a few
-    hundred run in well under a second; 512x512 takes ~20 s). For larger
+    hundred run in well under a second; 512x512 takes ~10 s). For larger
     production EMDs install POT (``backend='pot'`` in the bridges).
     """
     lib = _load()
