@@ -25,6 +25,11 @@ sys.path.insert(0, {repo!r})
 import jax
 {platform_setup}
 jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wot_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 import numpy as np
 import jax.numpy as jnp
 from waveform_ot_tpu.inversion import (
@@ -86,6 +91,11 @@ sys.path.insert(0, {repo!r})
 import jax
 {platform_setup}
 jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wot_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 import jax.numpy as jnp
 from __graft_entry__ import _build_problem
 from waveform_ot_tpu.inversion import InvOptions, loc_cmt_value_and_grad
