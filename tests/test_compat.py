@@ -269,7 +269,7 @@ class TestModuleUtilities:
         import jax
 
         from waveform_ot_tpu.ops.fingerprint import (
-            FingerprintSpec, Window, fingerprint_density, make_window,
+            FingerprintSpec, fingerprint_density, make_window,
         )
 
         wf = self._wf(rng)

@@ -20,6 +20,17 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native toolchain unavailable")
 
 
+def _marginal_constraints(n, m):
+    """(n+m, n*m) equality-constraint matrix for the transportation LP
+    (row-major plan variables), shared by the linprog cross-checks."""
+    A_eq = np.zeros((n + m, n * m))
+    for i in range(n):
+        A_eq[i, i * m:(i + 1) * m] = 1.0
+    for j in range(m):
+        A_eq[n + j, j::m] = 1.0
+    return A_eq
+
+
 class TestEMD:
     def test_matches_linprog_random_rectangular(self, rng):
         from scipy.optimize import linprog
@@ -32,12 +43,7 @@ class TestEMD:
             b /= b.sum()
             C = rng.random((n, m))
             v, F = native.emd(a, b, C)
-            A_eq = np.zeros((n + m, n * m))
-            for i in range(n):
-                A_eq[i, i * m:(i + 1) * m] = 1.0
-            for j in range(m):
-                A_eq[n + j, j::m] = 1.0
-            res = linprog(C.ravel(), A_eq=A_eq,
+            res = linprog(C.ravel(), A_eq=_marginal_constraints(n, m),
                           b_eq=np.concatenate([a, b]), bounds=(0, None),
                           method="highs")
             assert res.success
@@ -190,11 +196,8 @@ class TestBridges:
                                 returndist=True, backend="native")
         a = np.asarray(src.pdf).ravel()
         b = np.asarray(tgt.pdf).ravel()
-        A_eq = np.zeros((2 * n, n * n))
-        for i in range(n):
-            A_eq[i, i * n:(i + 1) * n] = 1.0
-            A_eq[n + i, i::n] = 1.0
-        res = linprog(A.ravel(), A_eq=A_eq, b_eq=np.concatenate([a, b]),
+        res = linprog(A.ravel(), A_eq=_marginal_constraints(n, n),
+                      b_eq=np.concatenate([a, b]),
                       bounds=(0, None), method="highs")
         assert res.success
         assert abs(w - res.fun) < 1e-10

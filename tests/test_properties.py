@@ -121,7 +121,7 @@ class TestDistanceFieldInvariants:
         w = draw(st.lists(st.floats(0.05, 0.95), min_size=nt, max_size=nt))
         return np.asarray(w), ntg, nu
 
-    @settings(**SET)
+    @settings(**{**SET, "max_examples": 10})  # 2 jit compiles per shape
     @given(field_problem())
     def test_impls_agree_and_basic_bounds(self, prob):
         from waveform_ot_tpu.ops.fingerprint import distance_field

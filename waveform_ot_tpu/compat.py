@@ -406,7 +406,6 @@ def wavederiv(d, irays, xrays, lrays, points, wf, verbose=False):
     p = np.asarray(points, dtype=float).reshape(-1, 2)
     dis = np.asarray(d, dtype=float).reshape(-1)
     lr = np.asarray(lrays, dtype=float).reshape(-1)
-    ir = np.asarray(irays).reshape(-1)
     safe = np.where(dis > 0, dis, 1.0)
     dddx = (np.asarray(xrays).reshape(-1, 2) - p) / safe[:, None]
     du = wf.ulim[1] - wf.ulim[0]
@@ -415,6 +414,7 @@ def wavederiv(d, irays, xrays, lrays, points, wf, verbose=False):
     out = np.stack([dddy0, dddy1], axis=1)
     if not verbose:
         return out
+    ir = np.asarray(irays).reshape(-1)
     x0 = np.asarray(wf.pn)[:-1][ir]
     c = np.asarray(wf.delta_n)[ir]
     lsq = np.asarray(wf.lsq_n)[ir]
