@@ -232,3 +232,69 @@ class TestGridSharded:
             distance_field_diff(verts, tgrid, ugrid, "jnp"), 0.04, q=None)
         np.testing.assert_allclose(np.asarray(pdf), np.asarray(ref),
                                    rtol=1e-14)
+
+
+class TestDpSp2DMesh:
+    """Composed 2-D mesh: traces over 'batch' x grid columns over 'seq'
+    in one program (parallel.dp_sp_marg_misfit) — exact parity with the
+    single-device batched pipeline on a (2, 4) virtual mesh."""
+
+    def test_value_and_grad_match_single_device(self, rng):
+        from waveform_ot_tpu.ops import make_density_1d
+        from waveform_ot_tpu.ops.fingerprint import (
+            density_from_distance, distance_field_diff,
+        )
+        from waveform_ot_tpu.ops.marginal import marg_wasserstein_value
+        from waveform_ot_tpu.parallel import (
+            dp_sp_marg_misfit, make_mesh_2d, shard_grid_axis,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ntr, nt, ntg, nu = 6, 30, 64, 16
+        t = jnp.linspace(0.0, 1.0, nt)
+        w = 0.5 + 0.2 * jnp.sin(
+            4 * np.pi * t)[None, :] * jnp.asarray(
+            rng.uniform(0.5, 1.5, (ntr, 1)))
+        w = w + 0.02 * jnp.asarray(rng.standard_normal((ntr, nt)))
+        verts = jnp.stack([jnp.broadcast_to(t, (ntr, nt)), w], axis=-1)
+        tgrid = jnp.linspace(0.0, 1.0, ntg)
+        ugrid = jnp.linspace(0.0, 1.0, nu)
+        tt = jnp.asarray(rng.random((ntr, ntg)) + 0.1)
+        uu = jnp.asarray(rng.random((ntr, nu)) + 0.1)
+        target_t = jax.vmap(lambda f: make_density_1d(f, tgrid))(tt)
+        target_u = jax.vmap(lambda f: make_density_1d(f, ugrid))(uu)
+        tshift = jnp.zeros((ntr,))
+
+        def ref_total(verts_b, ts_b):
+            def one(v, ft, fu, ts):
+                u2d = density_from_distance(
+                    distance_field_diff(v, tgrid, ugrid, "jnp"), 0.04,
+                    q=None)
+                wt, wu = marg_wasserstein_value(
+                    u2d, tgrid, ugrid,
+                    jax.tree_util.tree_map(lambda a: a, ft), fu, p=2,
+                    tshift=ts)
+                return 0.5 * wt + 0.5 * wu
+            return jnp.sum(jax.vmap(one)(verts_b, target_t, target_u, ts_b))
+
+        mesh = make_mesh_2d(2, 4)
+        fn = dp_sp_marg_misfit(mesh, lambdav=0.04, q=None, p=2, alpha=0.5,
+                               impl="jnp")
+        tg_sh = shard_grid_axis(tgrid, mesh, axis_name="seq")
+        vb = jax.device_put(verts, NamedSharding(mesh, P("batch")))
+        tt_sh = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P("batch"))),
+            target_t)
+        tu_sh = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P("batch"))),
+            target_u)
+
+        v_ref = ref_total(verts, tshift)
+        v_sh = jax.jit(fn)(vb, tg_sh, ugrid, tt_sh, tu_sh, tshift)
+        np.testing.assert_allclose(float(v_sh), float(v_ref), rtol=1e-12)
+
+        g_ref = jax.grad(ref_total)(verts, tshift)
+        g_sh = jax.jit(jax.grad(
+            lambda v, ts: fn(v, tg_sh, ugrid, tt_sh, tu_sh, ts)))(vb, tshift)
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                                   rtol=1e-11, atol=1e-14)

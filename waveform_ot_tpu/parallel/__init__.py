@@ -6,5 +6,6 @@ from waveform_ot_tpu.parallel.mesh import (  # noqa: F401
 )
 
 from waveform_ot_tpu.parallel.grid_shard import (  # noqa: F401
-    grid_sharded_density, grid_sharded_marg_misfit, shard_grid_axis,
+    dp_sp_marg_misfit, grid_sharded_density, grid_sharded_marg_misfit,
+    make_mesh_2d, shard_grid_axis,
 )
