@@ -173,3 +173,62 @@ class TestNativeEMDFuzz:
         assert abs(v - w) <= 1e-9 * max(1.0, abs(w))
         np.testing.assert_allclose(plan.sum(1), f / f.sum(), atol=1e-12)
         np.testing.assert_allclose(plan.sum(0), g / g.sum(), atol=1e-12)
+
+
+class TestMarginalSlicedInvariants:
+    """2-D layer invariants: marginal and sliced Wasserstein."""
+
+    @st.composite
+    @staticmethod
+    def density_2d(draw):
+        nx = draw(st.integers(3, 8))
+        ny = draw(st.integers(3, 8))
+        f = draw(st.lists(st.floats(1e-2, 1.0), min_size=nx * ny,
+                          max_size=nx * ny))
+        return np.asarray(f).reshape(nx, ny)
+
+    @settings(**{**SET, "max_examples": 15})
+    @given(density_2d())
+    def test_marginal_self_distance_zero(self, f):
+        from waveform_ot_tpu.ops import make_density_1d
+        from waveform_ot_tpu.ops.marginal import marg_wasserstein_value
+
+        nx, ny = f.shape
+        tg = jnp.linspace(0.0, 1.0, ny)
+        ug = jnp.linspace(0.0, 1.0, nx)
+        u2d = jnp.asarray(f)
+        tt = make_density_1d(jnp.sum(u2d, axis=0), tg)
+        tu = make_density_1d(jnp.sum(u2d, axis=1), ug)
+        wt, wu = marg_wasserstein_value(u2d, tg, ug, tt, tu, p=2)
+        assert abs(float(wt)) < 1e-12 and abs(float(wu)) < 1e-12
+
+    @st.composite
+    @staticmethod
+    def density_2d_pair(draw):
+        nx = draw(st.integers(3, 8))
+        ny = draw(st.integers(3, 8))
+        f = draw(st.lists(st.floats(1e-2, 1.0), min_size=nx * ny,
+                          max_size=nx * ny))
+        g = draw(st.lists(st.floats(1e-2, 1.0), min_size=nx * ny,
+                          max_size=nx * ny))
+        return (np.asarray(f).reshape(nx, ny),
+                np.asarray(g).reshape(nx, ny))
+
+    @settings(**{**SET, "max_examples": 15})
+    @given(density_2d_pair())
+    def test_sliced_nonneg_symmetric_and_zero_on_self(self, pair):
+        from waveform_ot_tpu.ops import make_density_2d
+        from waveform_ot_tpu.ops.sliced import sliced_wasserstein
+
+        f, g = pair
+        nx, ny = f.shape
+        xx, yy = np.meshgrid(np.linspace(0, 1, ny), np.linspace(0, 1, nx))
+        pos = jnp.asarray(np.dstack([xx, yy]))
+        s = make_density_2d(jnp.asarray(f), pos)
+        t = make_density_2d(jnp.asarray(g), pos)
+        [w_st] = sliced_wasserstein(s, t, 4)
+        [w_ts] = sliced_wasserstein(t, s, 4)
+        [w_ss] = sliced_wasserstein(s, s, 4)
+        assert float(w_st) >= -1e-12
+        assert abs(float(w_st) - float(w_ts)) <= 1e-9 * max(1.0, float(w_st))
+        assert abs(float(w_ss)) < 1e-12
