@@ -253,6 +253,23 @@ class TestModuleUtilities:
         # clipped points carry zero lambda-derivatives
         assert np.all(dl0[(lam == 0) | (lam == 1)] == 0)
 
+    def test_nnsearch_ni_refinement_return_order(self, rng):
+        # regression: the ni>0 path returned (lrays, xrays) swapped
+        wf = self._wf(rng)
+        d0, i0, l0, x0 = compat.NNsearch(wf)
+        d2, i2, l2, x2 = compat.NNsearch(wf, ni=2)
+        assert l2.shape == (wf.nug * wf.ntg,)
+        assert x2.shape == (wf.nug * wf.ntg, 2)
+        assert np.all((l2 >= 0) & (l2 <= 1))
+        # approximate method: never undershoots the exact field (the
+        # reference's refined path resamples by grid count, so it is not
+        # strictly better than the ni=0 vertex search)
+        pts = compat._grid_points_n(wf)
+        d_exact, _, _, _ = compat.wavedistv(pts, wf)
+        assert np.all(d2.ravel() >= d_exact - 1e-12)
+        assert np.isclose(d2.ravel(), d_exact, atol=1e-12).mean() > 0.2
+        assert np.median(np.abs(d2.ravel() - d_exact)) < 0.1
+
     def test_nnsearch_agrees_with_exact_interior(self, rng):
         wf = self._wf(rng)
         dfield, irays, lrays, xrays = compat.NNsearch(wf)
@@ -321,6 +338,14 @@ class TestModuleUtilities:
             A[[0, 1], [2, 3]])
         with pytest.raises(compat.errors.UnknownOTDistanceTypeError):
             compat.BuildLinProg(src, tgt, None)
+        # user-callable distance function (the reference's documented use)
+        d_cb, A_cb, b_cb = compat.BuildLinProg(
+            src, tgt, distfunc=lambda j, i, args: args[j, i],
+            args=np.asarray(A))
+        np.testing.assert_allclose(d_cb, A, atol=1e-15)
+        res_cb = linprog(d_cb.ravel(), A_eq=A_cb, b_eq=b_cb,
+                         bounds=(0, None), method="highs")
+        assert res_cb.success and abs(res_cb.fun - w) < 1e-10
 
     def test_sinkhorn_ab_and_filter(self, rng):
         mu0 = rng.random((10, 10)) + 0.1
@@ -364,7 +389,7 @@ class TestModuleUtilities:
         compat.plotPDFsurface(wf.pdf, wf.pn[:, 0], wf.pn[:, 1],
                               filename=str(tmp_path / "surf.png"))
         pdf2 = compat.OTpdf((wf.pdf, wf.pos))
-        compat.plotMarginals(None, pdf2, tag="_x", outdir=str(tmp_path))
+        compat.plotMarginals(wf, pdf2, tag="_x", outdir=str(tmp_path))
         xl, yl = compat.plot_RF_SDF(wf.p[:, 0], wf.p[:, 1],
                                     filename=str(tmp_path / "rf.png"))
         assert xl[0] < xl[1] and yl[0] < yl[1]
@@ -376,3 +401,4 @@ class TestModuleUtilities:
                      "rf"]:
             assert (tmp_path / f"{name}.png").stat().st_size > 0
         assert (tmp_path / "Marginal_u_x.png").exists()
+        assert (tmp_path / "Marginals_and_fingerprint_x.pdf").exists()

@@ -535,3 +535,15 @@ class TestModuleUtilityParity:
         d_o, v_o, w_o = compat.SinkhornAB((mu0, mu1), 1.0)
         assert abs(d_o - d_r) < 1e-8 * max(1.0, abs(d_r))
         np.testing.assert_allclose(v_o, v_r, rtol=1e-6, atol=1e-10)
+
+    def test_nnsearch_refined(self, reference_libs, rng):
+        from waveform_ot_tpu import compat
+
+        fp, wf_r, wf_o, pts = self._pair(reference_libs, rng)
+        d_r, i_r, l_r, x_r = fp.NNsearch(wf_r, ni=2)
+        d_o, i_o, l_o, x_o = compat.NNsearch(wf_o, ni=2)
+        np.testing.assert_allclose(d_o, d_r, atol=1e-12)
+        np.testing.assert_array_equal(i_o, i_r)
+        np.testing.assert_allclose(np.asarray(l_o).ravel(),
+                                   np.asarray(l_r).ravel(), atol=1e-12)
+        np.testing.assert_allclose(x_o, x_r, atol=1e-12)

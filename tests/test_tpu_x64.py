@@ -55,9 +55,9 @@ print(json.dumps({{"backend": jax.default_backend(), "v": float(v),
 """
 
 
-def _run_pipeline(platform_setup: str, env) -> dict:
+def _run_template(template: str, platform_setup: str, env) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = _PIPELINE.format(repo=repo, platform_setup=platform_setup)
+    code = template.format(repo=repo, platform_setup=platform_setup)
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=900)
     if out.returncode != 0:
@@ -65,21 +65,28 @@ def _run_pipeline(platform_setup: str, env) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-@pytest.mark.tpu_x64
-def test_ricker_pipeline_x64_on_tpu_matches_cpu():
-    # child env must NOT inherit the conftest's forced-CPU settings
+def _spot_check(template: str):
+    """Run ``template`` on the default (TPU) platform and on CPU, both in
+    fresh x64 subprocesses; skip when no TPU is reachable. Returns
+    (tpu_result, cpu_result)."""
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     try:
-        tpu = _run_pipeline("", env)
+        tpu = _run_template(template, "", env)
     except (RuntimeError, subprocess.TimeoutExpired) as e:
         pytest.skip(f"TPU backend unavailable for x64 spot check: {e}")
     if tpu["backend"] != "tpu":
         pytest.skip(f"no TPU in this environment (got {tpu['backend']})")
-
-    cpu = _run_pipeline('jax.config.update("jax_platforms", "cpu")',
+    cpu = _run_template(template,
+                        'jax.config.update("jax_platforms", "cpu")',
                         dict(os.environ))
     assert cpu["backend"] == "cpu"
+    return tpu, cpu
+
+
+@pytest.mark.tpu_x64
+def test_ricker_pipeline_x64_on_tpu_matches_cpu():
+    tpu, cpu = _spot_check(_PIPELINE)
     assert abs(tpu["v"] - cpu["v"]) <= 1e-10 * max(1.0, abs(cpu["v"]))
     np.testing.assert_allclose(np.asarray(tpu["g"]), np.asarray(cpu["g"]),
                                rtol=0, atol=1e-10)
@@ -112,29 +119,8 @@ print(json.dumps({{"backend": jax.default_backend(), "v": float(v),
 
 @pytest.mark.tpu_x64
 def test_loc_cmt_pipeline_x64_on_tpu_matches_cpu():
-    # the flagship batched objective (6 stations x 3 comps), x64 on real
-    # TPU vs CPU x64 — same contract as the Ricker spot check above
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-
-    def run(platform_setup, env):
-        code = _LOC_PIPELINE.format(repo=repo, platform_setup=platform_setup)
-        out = subprocess.run([sys.executable, "-c", code], env=env,
-                             capture_output=True, text=True, timeout=900)
-        if out.returncode != 0:
-            raise RuntimeError(out.stderr[-2000:])
-        return json.loads(out.stdout.strip().splitlines()[-1])
-
-    try:
-        tpu = run("", env)
-    except (RuntimeError, subprocess.TimeoutExpired) as e:
-        pytest.skip(f"TPU backend unavailable for x64 spot check: {e}")
-    if tpu["backend"] != "tpu":
-        pytest.skip(f"no TPU in this environment (got {tpu['backend']})")
-
-    cpu = run('jax.config.update("jax_platforms", "cpu")', dict(os.environ))
-    assert cpu["backend"] == "cpu"
+    # the flagship batched objective (6 stations x 3 comps)
+    tpu, cpu = _spot_check(_LOC_PIPELINE)
     # measured: ~3e-8 relative on the value — the batched pipeline has
     # deeper reduction trees than the Ricker path and TPU/CPU x64 sum in
     # different orders; still 100x tighter than the f32 deviation

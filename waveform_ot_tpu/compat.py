@@ -433,54 +433,58 @@ def wavederiv(d, irays, xrays, lrays, points, wf, verbose=False):
 def NNsearch(wf, ni=0):
     """Vertex-NN distance field (reference NNsearch,
     FingerprintLib.py:387-443). Returns (dfield, irays, lrays, xrays);
-    ``ni`` resamples the polyline with ni extra vertices per segment
-    before the NN query (the reference's sub-sampling refinement)."""
+    ``ni`` interpolates ni extra vertices per segment before the NN
+    query (the reference's sub-sampling refinement). The refined path
+    reproduces the reference exactly: nearest refined VERTEX, rounded
+    back to an original vertex index, then resolved against only the
+    two adjacent original segments — including the reference's
+    ``max(npoints)-1`` clip bound and its prefer-lower-segment ties."""
     from waveform_ot_tpu.ops.fingerprint import distance_field_nn
 
+    if ni:
+        # reference sizes the refined line from the GRID time count, not
+        # the waveform's vertex count, and spans the normalized
+        # fingerprint box (FingerprintLib.py:391-394)
+        nt_f = wf.ntg * (ni + 1) - ni
+        tf = np.linspace(wf.tlimnfp[0], wf.tlimnfp[1], nt_f)
+        uf = np.interp(tf, wf.pn[:, 0], wf.pn[:, 1])
+        pline = np.stack([tf, uf], axis=1)
+        pts = _grid_points_n(wf)
+        d2v = ((pts[:, None, :] - pline[None, :, :]) ** 2).sum(-1)
+        nn = np.argmin(d2v, axis=1)
+        npoints = np.round(nn / (ni + 1)).astype(int)
+        hi = npoints.max() - 1  # the reference's data-dependent clip bound
+        segp = np.clip(npoints, 0, hi)
+        segm = np.clip(npoints - 1, 0, hi)
+        x0v = np.asarray(wf.pn)[:-1]
+        c = np.asarray(wf.delta_n)
+        lsq = np.asarray(wf.lsq_n)
+
+        def eval_seg(seg):
+            b = pts - x0v[seg]
+            lam = np.clip(np.einsum("kj,kj->k", b, c[seg]) / lsq[seg],
+                          0.0, 1.0)
+            ds = b - c[seg] * lam[:, None]
+            return np.einsum("kj,kj->k", ds, ds), lam
+
+        dp, lamp = eval_seg(segp)
+        dm, lamm = eval_seg(segm)
+        win_p = dp < dm  # strict: ties keep the lower segment, like the
+        # reference's else-branch (FingerprintLib.py:433-441)
+        dsq = np.where(win_p, dp, dm)
+        irays = np.where(win_p, segp, segm)
+        lrays = np.where(win_p, lamp, lamm)
+        xrays = x0v[irays] + lrays[:, None] * c[irays]
+        return (np.sqrt(dsq).reshape(wf.nug, wf.ntg), irays, lrays, xrays)
     tg = jnp.asarray(np.linspace(wf.tlimnfp[0], wf.tlimnfp[1], wf.ntg))
     ug = jnp.asarray(np.linspace(wf.ulimnfp[0], wf.ulimnfp[1], wf.nug))
-    verts = jnp.asarray(np.asarray(wf.pn))
-    if ni:
-        nt_f = wf.nt + (wf.nt - 1) * ni
-        tf = np.linspace(wf.pn[0, 0], wf.pn[-1, 0], nt_f)
-        uf = np.interp(tf, wf.pn[:, 0], wf.pn[:, 1])
-        fld = distance_field_nn(jnp.asarray(np.stack([tf, uf], 1)), tg, ug)
-        # map refined segment indices back to original segments
-        iorig = (np.asarray(fld.iclose).ravel() // (ni + 1)).astype(int)
-        pts = _grid_points_n(wf)
-        d, irays, xrays, lrays = _resolve_segments(pts, wf, iorig)
-        return d.reshape(wf.nug, wf.ntg), irays, lrays, xrays
-    fld = distance_field_nn(verts, tg, ug)
+    fld = distance_field_nn(jnp.asarray(np.asarray(wf.pn)), tg, ug)
     x0 = np.asarray(wf.pn)[:-1]
     c = np.asarray(wf.delta_n)
     ir = np.asarray(fld.iclose).ravel()
     lr = np.asarray(fld.lam).ravel()
     xrays = x0[ir] + lr[:, None] * c[ir]
     return (np.asarray(fld.d), ir, lr, xrays)
-
-
-def _resolve_segments(points, wf, candidates):
-    """Exact distance restricted to a candidate segment (+/- neighbours)
-    per point — the reference's segm/segp adjacent-pair resolve."""
-    x0 = np.asarray(wf.pn)[:-1]
-    c = np.asarray(wf.delta_n)
-    lsq = np.asarray(wf.lsq_n)
-    nseg = x0.shape[0]
-    best_d = np.full(points.shape[0], np.inf)
-    best_i = np.zeros(points.shape[0], dtype=int)
-    best_l = np.zeros(points.shape[0])
-    for off in (-1, 0, 1):
-        i = np.clip(candidates + off, 0, nseg - 1)
-        b = points - x0[i]
-        lam = np.clip(np.einsum("kj,kj->k", b, c[i]) / lsq[i], 0.0, 1.0)
-        ds = b - c[i] * lam[:, None]
-        dsq = np.einsum("kj,kj->k", ds, ds)
-        better = dsq < best_d
-        best_d = np.where(better, dsq, best_d)
-        best_i = np.where(better, i, best_i)
-        best_l = np.where(better, lam, best_l)
-    xrays = x0[best_i] + best_l[:, None] * c[best_i]
-    return np.sqrt(best_d), best_i, best_l, xrays
 
 
 def check_FDderiv(wf, k, du=0.001, verbose=False):
@@ -550,10 +554,21 @@ def wPDFderiv(pdf, dddy, lambdav, irays, wf, chainmatrix):
 
 def BuildLinProg(source: OTpdf, target: OTpdf, distfunc=None, args=None):
     """LP data (d, A_eq, b_eq) for exact OT (reference BuildLinProg,
-    OTlib.py:454-463)."""
+    OTlib.py:454-463). ``distfunc`` is 'W1'/'W2' or a user-supplied
+    ``cost(i, j, args)`` callable, like the reference's _calc_distArray
+    dispatch (OTlib.py:200-215)."""
     from waveform_ot_tpu.ops.validate import build_linprog
 
     if distfunc is None:
+        raise errors.UnknownOTDistanceTypeError(distfunc)
+    if callable(distfunc):
+        n, m = source.n, target.n
+        d = np.array([[float(distfunc(j, i, args)) for i in range(m)]
+                      for j in range(n)])
+        _, A_eq, b_eq = build_linprog(source.pdf, source.x, target.pdf,
+                                      target.x, p=1)
+        return d, A_eq, b_eq
+    if distfunc not in ("W1", "W2"):
         raise errors.UnknownOTDistanceTypeError(distfunc)
     p = 2 if distfunc == "W2" else 1
     c, A_eq, b_eq = build_linprog(source.pdf, source.x, target.pdf,
@@ -659,8 +674,10 @@ def plotOT1D(source: OTpdf, target: OTpdf, filename="Null",
                                      jnp.asarray(source.x),
                                      jnp.asarray(target.pdf),
                                      jnp.asarray(target.x)))
-    plot_transport_plan(H, source.density, target.density,
-                        filename=None if filename == "Null" else filename)
+    fig = plot_transport_plan(H, source.density, target.density,
+                              filename=None if filename == "Null"
+                              else filename)
+    _viz_plt().close(fig)
     if returnplan:
         return H
 
@@ -668,12 +685,18 @@ def plotOT1D(source: OTpdf, target: OTpdf, filename="Null",
 def plot_optimal_transform_frames(source: OTpdf, target: OTpdf, frames,
                                   plotsum=False, filename=None):
     """Displacement-interpolation frames (reference
-    plot_optimal_transform_frames, OTlib.py:1330-1386)."""
+    plot_optimal_transform_frames, OTlib.py:1330-1386). ``frames`` is a
+    frame count or an explicit sequence of interpolation weights."""
     from waveform_ot_tpu.viz import plot_transport_frames
 
-    n = frames if isinstance(frames, int) else len(frames)
-    plot_transport_frames(source.density, target.density, nframes=n,
-                          filename=filename)
+    if isinstance(frames, int):
+        fig = plot_transport_frames(source.density, target.density,
+                                    nframes=frames, filename=filename)
+    else:
+        fig = plot_transport_frames(source.density, target.density,
+                                    weights=np.asarray(frames),
+                                    filename=filename)
+    _viz_plt().close(fig)
 
 
 def plot_phi(X, Y, phi, t, waveform, xl, yl, filename=None):
@@ -697,16 +720,34 @@ def plot_phi(X, Y, phi, t, waveform, xl, yl, filename=None):
 def plot_LS(f, wf, xl, yl, title, col1, col2, aspect=False, filename="no",
             pdf=False, ncon=10, fxsize=None, fysize=None):
     """Contoured field + waveform (reference plot_LS,
-    FingerprintLib.py:742-779)."""
+    FingerprintLib.py:742-779): aspect=True plots in NORMALIZED
+    coordinates with an equal-aspect (9,9) frame and 3*ncon levels;
+    aspect=False plots in the un-normalized fingerprint box ((8,4)
+    frame, 2*ncon levels) with the xl/yl limits applied when given (the
+    reference then overrides ylim from globals — a notebook-context
+    quirk not reproduced)."""
     plt = _viz_plt()
-    fig = plt.figure(figsize=(fxsize or 9, fysize or 9))
-    ax = fig.add_subplot(111)
     if aspect:
+        fig = plt.figure(figsize=(fxsize or 9, fysize or 9))
+        ax = fig.add_subplot(111)
         ax.set_aspect("equal")
-    tg = np.linspace(wf.tlimnfp[0], wf.tlimnfp[1], wf.ntg)
-    ug = np.linspace(wf.ulimnfp[0], wf.ulimnfp[1], wf.nug)
-    ax.contour(tg, ug, np.asarray(f), ncon, linewidths=0.5, colors=col2)
-    ax.plot(wf.pn[:, 0], wf.pn[:, 1], "-", color=col1, lw=0.7)
+        tg = np.linspace(wf.tlimnfp[0], wf.tlimnfp[1], wf.ntg)
+        ug = np.linspace(wf.ulimnfp[0], wf.ulimnfp[1], wf.nug)
+        ax.plot(wf.pn[:, 0], wf.pn[:, 1], "-", color=col1, lw=0.7)
+        ax.contour(tg, ug, np.asarray(f), 3 * ncon, linewidths=0.5,
+                   colors=col2)
+    else:
+        fig = plt.figure(figsize=(fxsize or 8, fysize or 4))
+        ax = fig.add_subplot(111)
+        if xl is not None:
+            ax.set_xlim(*xl)
+        if yl is not None:
+            ax.set_ylim(*yl)
+        tg = np.linspace(wf.tlimfp[0], wf.tlimfp[1], wf.ntg)
+        ug = np.linspace(wf.ulimfp[0], wf.ulimfp[1], wf.nug)
+        ax.plot(wf.p[:, 0], wf.p[:, 1], "-", color=col1, lw=0.7)
+        ax.contour(tg, ug, np.asarray(f), 2 * ncon, linewidths=0.5,
+                   colors=col2)
     ax.set_title(title)
     ax.set_xlabel("t")
     ax.set_ylabel("u")
@@ -768,19 +809,24 @@ def plotPDFsurface(pdf, t, ridge, mycmap=None, elev=75, azim=-134,
     nu, ntg = pdf.shape
     tg = np.linspace(0.0, 1.0, ntg)
     ug = np.linspace(0.0, 1.0, nu)
-    plot_density_surface(pdf, tg, ug, ridge_t=np.asarray(t),
-                         ridge_u=np.asarray(ridge), elev=elev, azim=azim,
-                         cmap=mycmap or "cubehelix_r", filename=filename)
+    fig = plot_density_surface(pdf, tg, ug, ridge_t=np.asarray(t),
+                               ridge_u=np.asarray(ridge), elev=elev,
+                               azim=azim, cmap=mycmap or "cubehelix_r",
+                               filename=filename)
+    _viz_plt().close(fig)
 
 
 def plotMarginals(wfwave, wf: OTpdf, tag="_", outdir="."):
-    """Time/amplitude marginal strip plots saved as Marginal_{u,t}<tag>.png
-    (reference plotMarginals, FingerprintLib.py:818-851)."""
+    """Marginal strip plots saved as Marginal_{u,t}<tag>.png plus the
+    combined Marginals_and_fingerprint<tag>.pdf of ``wfwave``'s distance
+    field (reference plotMarginals, FingerprintLib.py:818-851); the third
+    figure is skipped when ``wfwave`` is None."""
     import os
 
     plt = _viz_plt()
     if wf.calcmarg:
         wf.setMarginals()
+    suffix = tag if tag != "-" else ""
     for axis, name in ((1, "u"), (0, "t")):
         fig = plt.figure(figsize=(9, 1))
         m = wf.marg[axis]
@@ -789,10 +835,14 @@ def plotMarginals(wfwave, wf: OTpdf, tag="_", outdir="."):
         plt.xlim(m.x[0], m.x[-1])
         plt.tick_params(left=False, bottom=True, labelleft=False,
                         labelbottom=False)
-        suffix = tag if tag != "-" else ""
         fig.savefig(os.path.join(outdir, f"Marginal_{name}{suffix}.png"),
                     dpi=300)
         plt.close(fig)
+    if wfwave is not None:
+        plot_LS(wfwave.dfield, wfwave, None, None, " ", "black", "grey",
+                aspect=True,
+                filename=os.path.join(
+                    outdir, f"Marginals_and_fingerprint{suffix}.pdf"))
 
 
 def plot_RF_SDF(t, RFo, ltype="b-", string="Predicted receiver function",

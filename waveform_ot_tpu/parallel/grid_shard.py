@@ -47,6 +47,22 @@ def shard_grid_axis(tgrid, mesh: Mesh, axis_name: str | None = None):
                           NamedSharding(mesh, P(axis_name)))
 
 
+def _block_marg_misfit(verts, tgrid_blk, ugrid, target_t, target_u, tshift,
+                       *, seq_axis, lambdav, q, p, impl):
+    """Shared sequence-parallel marginal pipeline for one grid: local
+    column-block distance field + density, marginals assembled over
+    ``seq_axis`` (all_gather / psum), 1-D Wasserstein on the replicated
+    marginals. Used by both the sp-only and the dp x sp entry points."""
+    d = distance_field_diff(verts, tgrid_blk, ugrid, impl)  # (nu, blk)
+    u2d = density_from_distance(d, lambdav, q=q)
+    f_t = jax.lax.all_gather(jnp.sum(u2d, axis=0), seq_axis, tiled=True)
+    f_u = jax.lax.psum(jnp.sum(u2d, axis=1), seq_axis)
+    tfull = jax.lax.all_gather(tgrid_blk, seq_axis, tiled=True)
+    wt = wasserstein_1d(f_t, tfull + tshift, target_t.pdf, target_t.x, p)
+    wu = wasserstein_1d(f_u, ugrid, target_u.pdf, target_u.x, p)
+    return wt, wu
+
+
 def grid_sharded_marg_misfit(mesh: Mesh, *, lambdav: float,
                              q: int | None = None, p: int = 2,
                              impl: str = "auto",
@@ -74,14 +90,9 @@ def grid_sharded_marg_misfit(mesh: Mesh, *, lambdav: float,
     an = axis_name or mesh.axis_names[0]
 
     def local(verts, tgrid_blk, ugrid, target_t, target_u, tshift):
-        d = distance_field_diff(verts, tgrid_blk, ugrid, impl)  # (nu, blk)
-        u2d = density_from_distance(d, lambdav, q=q)
-        f_t = jax.lax.all_gather(jnp.sum(u2d, axis=0), an, tiled=True)
-        f_u = jax.lax.psum(jnp.sum(u2d, axis=1), an)
-        tfull = jax.lax.all_gather(tgrid_blk, an, tiled=True)
-        wt = wasserstein_1d(f_t, tfull + tshift, target_t.pdf, target_t.x, p)
-        wu = wasserstein_1d(f_u, ugrid, target_u.pdf, target_u.x, p)
-        return wt, wu
+        return _block_marg_misfit(verts, tgrid_blk, ugrid, target_t,
+                                  target_u, tshift, seq_axis=an,
+                                  lambdav=lambdav, q=q, p=p, impl=impl)
 
     dens_spec = Density1D(amp=P(), pdf=P(), x=P(), cdf=P())
     return jax.shard_map(
@@ -142,13 +153,9 @@ def dp_sp_marg_misfit(mesh: Mesh, *, lambdav: float, q: int | None = None,
     """
 
     def per_trace(tgrid_blk, ugrid, verts, target_t, target_u, tshift):
-        d = distance_field_diff(verts, tgrid_blk, ugrid, impl)
-        u2d = density_from_distance(d, lambdav, q=q)
-        f_t = jax.lax.all_gather(jnp.sum(u2d, axis=0), seq_axis, tiled=True)
-        f_u = jax.lax.psum(jnp.sum(u2d, axis=1), seq_axis)
-        tfull = jax.lax.all_gather(tgrid_blk, seq_axis, tiled=True)
-        wt = wasserstein_1d(f_t, tfull + tshift, target_t.pdf, target_t.x, p)
-        wu = wasserstein_1d(f_u, ugrid, target_u.pdf, target_u.x, p)
+        wt, wu = _block_marg_misfit(verts, tgrid_blk, ugrid, target_t,
+                                    target_u, tshift, seq_axis=seq_axis,
+                                    lambdav=lambdav, q=q, p=p, impl=impl)
         return alpha * wt + (1.0 - alpha) * wu
 
     def local(verts_b, tgrid_blk, ugrid, target_t_b, target_u_b, tshift_b):
@@ -177,6 +184,7 @@ def make_mesh_2d(nb: int, ns: int, batch_axis: str = "batch",
     import numpy as _np
 
     devs = jax.devices()
-    assert len(devs) >= nb * ns, f"need {nb * ns} devices, have {len(devs)}"
+    if len(devs) < nb * ns:
+        raise ValueError(f"need {nb * ns} devices, have {len(devs)}")
     return Mesh(_np.asarray(devs[:nb * ns]).reshape(nb, ns),
                 (batch_axis, seq_axis))

@@ -141,15 +141,19 @@ def plot_marginals(pdf2d, tgrid, ugrid, filename_prefix=None):
     return figs
 
 
-def plot_transport_frames(source, target, nframes: int = 5, filename=None):
+def plot_transport_frames(source, target, nframes: int = 5, filename=None,
+                          weights=None):
     """Displacement-interpolation frames between two 1-D densities
-    (reference plot_optimal_transform_frames, OTlib.py:1380-1424)."""
+    (reference plot_optimal_transform_frames, OTlib.py:1380-1424).
+    ``weights`` overrides the uniform linspace of interpolation weights."""
     plt = _plt()
     from waveform_ot_tpu.ops.barycenter import barycenter_continuous
 
     import numpy as _np
 
-    w = _np.linspace(0.0, 1.0, nframes)
+    w = (_np.linspace(0.0, 1.0, nframes) if weights is None
+         else _np.asarray(weights, dtype=float))
+    nframes = w.shape[0]
     path = _np.asarray(barycenter_continuous(source, target, w,
                                              npoints=4000))
     fig, axs = plt.subplots(nframes, 1, figsize=(8, 1.6 * nframes),
