@@ -112,3 +112,25 @@ class TestNoisyWavelet:
         # correlated noise: neighboring samples strongly correlated
         c = np.corrcoef(r3[:-1], r3[1:])[0, 1]
         assert c > 0.9
+
+    def test_periodic_kernel_registered(self):
+        # the reference exposes all five myGP kernels (myGP.py:7-16);
+        # 'periodic' must be in the registry and usable end-to-end
+        import jax.random as jr
+
+        from waveform_ot_tpu.models.gp_noise import (
+            KERNELS, covariance, create_curve, periodic,
+        )
+
+        assert KERNELS["periodic"] is periodic
+        xx = jnp.linspace(-1.0, 1.0, 64)
+        K = covariance(xx, kernel=periodic, s1=0.3, rho=0.5)
+        # periodicity: k(x, x') depends on sin(pi|x-x'|/period)^2, so
+        # offsets one full period apart give identical covariance
+        np.testing.assert_allclose(
+            np.asarray(periodic(0.0, 0.25, 0.3, 0.5)),
+            np.asarray(periodic(0.0, 1.25, 0.3, 0.5)), rtol=1e-12)
+        assert np.allclose(np.asarray(jnp.diag(K)), 0.09)
+        x, y = create_curve(jr.PRNGKey(1), nx=64, kernel=periodic,
+                            jitter=1e-8)
+        assert np.all(np.isfinite(np.asarray(y)))

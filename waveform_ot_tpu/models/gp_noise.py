@@ -31,13 +31,13 @@ def matern2(x, xp, s1, rho):
         * jnp.exp(-jnp.sqrt(5.0) * r)
 
 
-def periodic(x, xp, s1, rho, period):
+def periodic(x, xp, s1, rho, period=1.0):
     return (s1 ** 2) * jnp.exp(
         -2.0 * jnp.sin(jnp.abs(x - xp) * jnp.pi / period) ** 2 / rho ** 2)
 
 
 KERNELS = {"sqExp": sq_exp, "matern0": matern0, "matern1": matern1,
-           "matern2": matern2}
+           "matern2": matern2, "periodic": periodic}
 
 
 def covariance(xx, kernel=sq_exp, s1: float = 0.2, rho: float = 0.2):
