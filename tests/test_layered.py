@@ -1,0 +1,209 @@
+"""Layered-medium seismogram forward: validation chain.
+
+The layered f-k forward (models/layered.py) replaces the reference's
+pyprop8 propagator (loc_cmt_util.py:28-58). Its correctness chain:
+
+  scipy Bessel  ==  bessel_j0123                      (values + JVP)
+  synthetic_seismograms  ~far-field~  wholespace oracle
+  wholespace oracle  ==  layered(uniform, no free surface)   [quadrature tol]
+  layered(half-space)  ==  layered(half-space split into N)  [machine eps]
+  d(seis)/d(x,y,z)  ==  central differences
+  seis linear in M                                     [machine eps]
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveform_ot_tpu.models import layered as L
+from waveform_ot_tpu.models.seismo import StationSet, synthetic_seismograms
+
+STATIONS = StationSet(x=jnp.array([30.0, -20.0, 5.0]),
+                      y=jnp.array([10.0, 25.0, -40.0]))
+M_GEN = jnp.array([[0.3, 0.5, 1.0],
+                   [0.5, -0.2, 0.7],
+                   [1.0, 0.7, -0.1]])
+KW = dict(nk=1024, kmax=2.5, stf=("clp_step", 0.05, 0.2))
+
+
+class TestBessel:
+    def test_values_vs_scipy(self):
+        from scipy.special import jv
+
+        x = jnp.asarray(np.linspace(0.0, 120.0, 1201))
+        ours = np.asarray(L.bessel_j0123(x))
+        for m in range(4):
+            np.testing.assert_allclose(ours[m], jv(m, np.asarray(x)),
+                                       atol=5e-11)
+
+    def test_jvp_recurrence(self):
+        from scipy.special import jvp as scipy_jvp
+
+        x = jnp.asarray(np.linspace(0.1, 60.0, 301))
+        # jacfwd of the x-summed values recovers the elementwise J'_m(x_i)
+        jac = jax.jacfwd(lambda t: L.bessel_j0123(t).sum(-1))(x)
+        for m in range(4):
+            np.testing.assert_allclose(np.asarray(jac)[m],
+                                       scipy_jvp(m, np.asarray(x)),
+                                       atol=5e-11)
+
+
+class TestWholespaceOracle:
+    def test_far_field_matches_synthetic(self):
+        """The oracle's far field reproduces synthetic_seismograms
+        (models/seismo.py) — same conventions. The residual is the genuine
+        near/intermediate-field term: O(lambda/r) ~ 3% at fc=0.3 Hz,
+        r ~ 600 km, and halves when r doubles (verified); dt=0.5 keeps the
+        Gaussian spectrum below Nyquist."""
+        st = StationSet(x=jnp.array([500.0, -350.0]),
+                        y=jnp.array([300.0, 450.0]))
+        kw = dict(nt=320, dt=0.5, t0=75.0)
+        t1, u1 = synthetic_seismograms(1.0, 1.0, 12.0, M_GEN, st, fc=0.3,
+                                       **kw)
+        t2, u2 = L.wholespace_seismograms(1.0, 1.0, 12.0, M_GEN, st,
+                                          stf=("gauss", 0.3),
+                                          alpha_damp=0.01, **kw)
+        scale = float(jnp.max(jnp.abs(u1)))
+        assert float(jnp.max(jnp.abs(u1 - u2))) / scale < 0.04
+
+
+class TestWholespaceParity:
+    """layered(uniform model, free_surface=False) == analytic whole-space
+    oracle, per azimuthal channel and for a generic moment tensor."""
+
+    CASES = {
+        "m0": jnp.eye(3),                                    # a0 + a0z
+        "m1": jnp.array([[0.0, 0.0, 1.0],
+                         [0.0, 0.0, 0.5],
+                         [1.0, 0.5, 0.0]]),                  # Mxz + Myz
+        "m2": jnp.array([[1.0, 0.7, 0.0],
+                         [0.7, -1.0, 0.0],
+                         [0.0, 0.0, 0.0]]),                  # (Mxx-Myy), Mxy
+        "generic": M_GEN,
+    }
+
+    @pytest.mark.parametrize("name", list(CASES))
+    def test_channel(self, name):
+        m = self.CASES[name]
+        _, uo = L.wholespace_seismograms(1.0, 1.0, 20.0, m, STATIONS,
+                                         stf=("gauss", 0.08))
+        _, ul = L.layered_seismograms(1.0, 1.0, 20.0, m, STATIONS,
+                                      model=L.uniform_model(),
+                                      free_surface=False,
+                                      stf=("gauss", 0.08), nk=1024, kmax=2.5)
+        err = float(jnp.max(jnp.abs(ul - uo)) / jnp.max(jnp.abs(uo)))
+        assert err < 5e-4, f"channel {name}: {err}"
+
+
+class TestLayeredInvariants:
+    def test_layer_splitting(self):
+        """Splitting a half-space into identical welded layers is a no-op
+        — validates interface R/T, phase composition, and the masked
+        source-layer selection (source in layer 2 of the split)."""
+        _, u1 = L.layered_seismograms(1.0, 1.0, 17.0, M_GEN, STATIONS,
+                                      model=L.uniform_model(nlayers=1), **KW)
+        _, u4 = L.layered_seismograms(1.0, 1.0, 17.0, M_GEN, STATIONS,
+                                      model=L.uniform_model(nlayers=4,
+                                                            thickness=6.0),
+                                      **KW)
+        assert float(jnp.max(jnp.abs(u1 - u4)) /
+                     jnp.max(jnp.abs(u1))) < 1e-10
+
+    def test_moment_linearity(self):
+        _, ua = L.layered_seismograms(1.0, 1.0, 17.0, 2.5 * M_GEN, STATIONS,
+                                      model=L.fukuoka_model(), **KW)
+        _, ub = L.layered_seismograms(1.0, 1.0, 17.0, M_GEN, STATIONS,
+                                      model=L.fukuoka_model(), **KW)
+        assert float(jnp.max(jnp.abs(ua - 2.5 * ub)) /
+                     jnp.max(jnp.abs(ua))) < 1e-10
+
+    def test_free_surface_amplifies(self):
+        """Free-surface receivers see roughly doubled motion vs buried
+        whole-space receivers (receiver-function factor ~2) — catches a
+        wrong-sign R_F, which cancels instead."""
+        _, ufs = L.layered_seismograms(1.0, 1.0, 15.0, M_GEN, STATIONS,
+                                       model=L.uniform_model(),
+                                       free_surface=True, **KW)
+        _, uws = L.layered_seismograms(1.0, 1.0, 15.0, M_GEN, STATIONS,
+                                       model=L.uniform_model(),
+                                       free_surface=False, **KW)
+        ratio = float(jnp.max(jnp.abs(ufs)) / jnp.max(jnp.abs(uws)))
+        assert 1.4 < ratio < 4.0
+
+
+class TestLayeredGradients:
+    @pytest.fixture(scope="class")
+    def fj(self):
+        mod = L.fukuoka_model()
+
+        def f(p, m6):
+            from waveform_ot_tpu.models.seismo import mxyz_from_upper
+            _, u = L.layered_seismograms(p[0], p[1], p[2],
+                                         mxyz_from_upper(m6), STATIONS,
+                                         model=mod, nk=512, kmax=2.0,
+                                         stf=("clp_step", 0.05, 0.2))
+            return jnp.sum(u * u) * 1e9
+
+        return jax.jit(f), jax.jit(jax.grad(f, argnums=(0, 1)))
+
+    def test_fd_xyz_and_m(self, fj):
+        f, g = fj
+        p0 = jnp.array([1.0, 1.0, 17.0])
+        m6 = jnp.array([0.3, 0.5, 1.0, -0.2, 0.7, -0.1])
+        gp, gm = g(p0, m6)
+        eps = 1e-5
+        for i in range(3):
+            fd = (f(p0.at[i].add(eps), m6) - f(p0.at[i].add(-eps), m6)) / (2 * eps)
+            assert abs(float(gp[i] - fd)) / max(abs(float(fd)), 1e-12) < 1e-3, \
+                f"xyz[{i}]: ad={float(gp[i])} fd={float(fd)}"
+        for i in range(6):
+            fd = (f(p0, m6.at[i].add(eps)) - f(p0, m6.at[i].add(-eps))) / (2 * eps)
+            assert abs(float(gm[i] - fd)) / max(abs(float(fd)), 1e-12) < 1e-6, \
+                f"m6[{i}]: ad={float(gm[i])} fd={float(fd)}"
+
+    def test_depth_grad_across_layers(self, fj):
+        """d/dz is finite and FD-consistent with the source in different
+        layers of the Fukuoka model (masked-stack machinery). Richardson-
+        extrapolated central differences; the shallow source gets a loose
+        tolerance because the misfit there carries ~1e-5 relative rounding
+        noise (large cancelling free-surface reverberation terms at high k)
+        that FD amplifies — at z >= 3.5 AD matches to <=3e-4 and at
+        z >= 10 to ~1e-7, which bounds the AD construction itself."""
+        f, g = fj
+        m6 = jnp.array([0.3, 0.5, 1.0, -0.2, 0.7, -0.1])
+        tols = {1.2: 5e-2, 3.5: 3e-3, 10.0: 1e-4, 25.0: 1e-4}
+        for z, tol in tols.items():           # layers 1, 2, 3, 4
+            p0 = jnp.array([1.0, 1.0, z])
+            (gp, _) = g(p0, m6)
+            assert jnp.isfinite(gp[2])
+
+            def fd(eps):
+                return float((f(p0.at[2].add(eps), m6)
+                              - f(p0.at[2].add(-eps), m6)) / (2 * eps))
+
+            rich = (9.0 * fd(1e-3) - fd(3e-3)) / 8.0
+            assert abs(float(gp[2]) - rich) / max(abs(rich), 1e-9) < tol, \
+                f"z={z}: ad={float(gp[2])} fd={rich}"
+
+
+class TestFukuokaForward:
+    def test_smoke_and_vmap(self):
+        """The Figs 9-11 configuration: 11 stations, 6-layer model — runs
+        under jit and vmaps over source candidates."""
+        st = StationSet(
+            x=jnp.array([10., 30., 50., -15., 8., 25., -25., 55., 80., 75., -70.]),
+            y=jnp.array([-75., -77., -70., -50., -46., -42., -25., -26., -23., -5., 30.]))
+        mod = L.fukuoka_model()
+
+        @jax.jit
+        def fwd(p):
+            return L.layered_seismograms(p[0], p[1], p[2], M_GEN, st,
+                                         model=mod, nk=512, kmax=2.0)[1]
+
+        u = fwd(jnp.array([1.0, 1.0, 20.0]))
+        assert u.shape == (11, 3, 61)
+        assert bool(jnp.all(jnp.isfinite(u))) and float(jnp.max(jnp.abs(u))) > 0
+        us = jax.vmap(fwd)(jnp.array([[1.0, 1.0, 20.0], [5.0, -3.0, 10.0]]))
+        assert us.shape == (2, 11, 3, 61)
+        np.testing.assert_allclose(np.asarray(us[0]), np.asarray(u), rtol=1e-12)

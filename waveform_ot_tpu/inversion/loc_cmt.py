@@ -173,20 +173,21 @@ def loc_cmt_value_and_grad(m, prob: LocCMTProblem, opts: InvOptions,
 
 
 def misfit_grid(ms, prob: LocCMTProblem, opts: InvOptions, cfg: TraceConfig,
-                impl="auto"):
+                forward: Callable | None = None, impl="auto"):
     """Vectorized misfit surface scan: ``ms`` is (k, nm) model nodes.
 
     Replaces the reference's triple Python loop over the (z, x, y) grid
     (Figs_9_10_11 cell 64; 1,764 serial objective evaluations —
     SURVEY.md 3.5) with one vmapped, jittable evaluation.
     """
-    return jax.vmap(lambda m: loc_cmt_misfit(m, prob, opts, cfg, impl=impl)
+    return jax.vmap(lambda m: loc_cmt_misfit(m, prob, opts, cfg,
+                                             forward=forward, impl=impl)
                     )(ms)
 
 
 def misfit_grid_sharded(ms, prob: LocCMTProblem, opts: InvOptions,
                         cfg: TraceConfig, mesh, axis_name: str = "batch",
-                        impl="auto"):
+                        forward: Callable | None = None, impl="auto"):
     """Multi-chip misfit surface scan: the model-node axis of ``ms`` is
     sharded over ``mesh`` (problem data replicated) and each chip scans its
     shard independently — zero inter-chip traffic. Scaling form of
@@ -202,6 +203,7 @@ def misfit_grid_sharded(ms, prob: LocCMTProblem, opts: InvOptions,
     # shardings on captured constants conflict with the Manual mesh axes
     # inside shard_map)
     f = sharded_map(
-        lambda m, p: loc_cmt_misfit(m, p, opts, cfg, impl=impl),
+        lambda m, p: loc_cmt_misfit(m, p, opts, cfg, forward=forward,
+                                    impl=impl),
         mesh, axis_name=axis_name)
     return f(ms, prob)

@@ -10,3 +10,8 @@ from waveform_ot_tpu.models.seismo import (  # noqa: F401
     mxyz_from_upper, synthetic_seismograms, upper_from_mxyz,
 )
 from waveform_ot_tpu.models import pyprop8_bridge  # noqa: F401
+from waveform_ot_tpu.models.layered import (  # noqa: F401
+    LayeredModel, fukuoka_model, layered_model_from_table,
+    layered_seismograms, make_layered_forward, uniform_model,
+    wholespace_seismograms,
+)

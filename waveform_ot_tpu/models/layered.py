@@ -1,0 +1,793 @@
+"""Layered-medium seismograms: differentiable frequency-wavenumber synthesis.
+
+The reference drives its flagship Figs 9-12 with pyprop8 propagator-matrix
+seismograms through a six-layer crustal model (loc_cmt_util.py:28-58;
+source_location_cmt_W2L2_Figs_9_10_11.ipynb cell 10 defines the layered
+model). pyprop8 is CPU-only Python and not installable here; this module is
+the TPU-native equivalent: a plane-layered elastic half-space response for a
+point moment-tensor source, computed by
+
+  * per-(frequency, wavenumber) **Kennett reflection-matrix recursion** —
+    unconditionally stable (all layer phase factors decay), expressed as
+    closed-form complex 2x2 block algebra (P-SV) and scalars (SH), batched
+    with vmap over the full (n_freq, n_k) grid;
+  * source up/down-going wave amplitudes derived from the Weyl (plane-wave)
+    decomposition of the whole-space moment-tensor field — no tabulated
+    source-jump vectors, every coefficient validated against the closed-form
+    whole-space solution (:func:`wholespace_seismograms`);
+  * azimuthal reduction to Bessel integrals J0..J3 over wavenumber
+    (trapezoid quadrature on a static k grid) and complex-frequency damping
+    (the reference's ``alpha=0.023`` argument to pyprop8, loc_cmt_util.py:44)
+    so wrap-around and real-axis surface-wave poles are suppressed;
+  * inverse FFT synthesis with the reference's cosine low-pass source filter
+    (pyprop8.utils.clp_filter semantics, loc_cmt_util.py:43).
+
+Everything is jnp: the forward is jit/vmap-compatible and differentiable in
+source position (x, y, z) and moment tensor — the properties the inversion
+pipeline (inversion/loc_cmt.py) needs. Conventions match
+:func:`waveform_ot_tpu.models.seismo.synthetic_seismograms`: coordinates
+(x=North, y=East, z=Up) for inputs/outputs, source depth ``z`` positive
+downward, output components (ux, uy, uz-up) of shape (nr, 3, nt).
+"""
+
+from __future__ import annotations
+
+import math
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from waveform_ot_tpu.models.seismo import StationSet
+
+# ---------------------------------------------------------------------------
+# Bessel functions J0..J4 (real argument), accurate to ~1e-11 over the k*r
+# ranges the synthesis uses, with exact-recurrence derivatives. jax.scipy
+# only ships bessel_jn (no stable gradient contract), so the kernel owns its
+# own: power series below the crossover, Hankel amplitude/phase asymptotics
+# above, and a custom JVP from dJ_m/dx = (J_{m-1} - J_{m+1})/2.
+# ---------------------------------------------------------------------------
+
+_BESSEL_CROSSOVER = 14.0
+_SERIES_TERMS = 36
+_ASYM_TERMS = 9
+
+
+def _bessel_series(m: int, x):
+    """Ascending series sum_j (-1)^j (x/2)^{2j+m} / (j! (j+m)!)."""
+    half = 0.5 * x
+    q = half * half
+    # Horner evaluation of sum_j c_j q^j with c_j = (-1)^j/(j!(j+m)!)
+    acc = jnp.zeros_like(x)
+    for j in range(_SERIES_TERMS - 1, -1, -1):
+        c = (-1.0) ** j / (math.factorial(j) * math.factorial(j + m))
+        acc = acc * q + c
+    return acc * half ** m
+
+
+def _bessel_asym(m: int, x):
+    """Hankel asymptotic expansion: J_m = sqrt(2/(pi x)) [P cos X - Q sin X],
+    X = x - (2m+1) pi/4 (Abramowitz & Stegun 9.2.5-9.2.10)."""
+    mu = 4.0 * m * m
+    inv8x = 1.0 / (8.0 * x)
+    # a_k coefficients of the P (even k) and Q (odd k) series
+    p = jnp.ones_like(x)
+    q = jnp.zeros_like(x)
+    term = jnp.ones_like(x)
+    for k in range(1, 2 * _ASYM_TERMS):
+        term = term * (mu - (2 * k - 1) ** 2) * inv8x / k
+        if k % 2 == 1:
+            q = q + term * (-1.0) ** ((k - 1) // 2)
+        else:
+            p = p + term * (-1.0) ** (k // 2)
+    chi = x - (2 * m + 1) * jnp.pi / 4.0
+    amp = jnp.sqrt(2.0 / (jnp.pi * x))
+    return amp * (p * jnp.cos(chi) - q * jnp.sin(chi))
+
+
+def _bessel_raw(m: int, x):
+    xs = jnp.where(x < _BESSEL_CROSSOVER, x, 0.0)      # keep series finite
+    xa = jnp.maximum(x, _BESSEL_CROSSOVER)             # keep 1/x finite
+    return jnp.where(x < _BESSEL_CROSSOVER,
+                     _bessel_series(m, xs), _bessel_asym(m, xa))
+
+
+@jax.custom_jvp
+def bessel_j0123(x):
+    """Stacked (4, ...) array of J0(x), J1(x), J2(x), J3(x), x >= 0.
+
+    Gradient uses the exact recurrence dJ_m/dx = (J_{m-1} - J_{m+1})/2
+    (J_{-1} = -J_1), so autodiff through the wavenumber synthesis is as
+    accurate as the values themselves.
+    """
+    return jnp.stack([_bessel_raw(m, x) for m in range(4)])
+
+
+@bessel_j0123.defjvp
+def _bessel_j0123_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    j = jnp.stack([_bessel_raw(m, x) for m in range(5)])
+    val = j[:4]
+    dj = jnp.stack([-j[1],
+                    0.5 * (j[0] - j[2]),
+                    0.5 * (j[1] - j[3]),
+                    0.5 * (j[2] - j[4])])
+    return val, dj * dx
+
+
+# ---------------------------------------------------------------------------
+# model container
+# ---------------------------------------------------------------------------
+
+
+class LayeredModel(NamedTuple):
+    """Plane-layered elastic model (pytree). The last entry is the
+    underlying half-space; its ``thickness`` value is ignored.
+
+    Units follow the reference notebooks: km, km/s, Mg/m^3."""
+
+    thickness: jax.Array   # (nlay,)
+    vp: jax.Array          # (nlay,)
+    vs: jax.Array          # (nlay,)
+    rho: jax.Array         # (nlay,)
+
+    @property
+    def nlayers(self) -> int:
+        return self.thickness.shape[0]
+
+    def interfaces(self):
+        """Depths of the nlay-1 internal interfaces (below the free
+        surface), i.e. cumulative thicknesses."""
+        return jnp.cumsum(self.thickness[:-1])
+
+
+def layered_model_from_table(table, dtype=jnp.float64) -> LayeredModel:
+    """Build from the reference's (nlay, 4) [thickness, vp, vs, rho] rows —
+    the pp.LayeredStructureModel(model_table, interface_depth_form=False)
+    convention of Figs_9_10_11 cell 10 (last row thickness = inf)."""
+    t = jnp.asarray([row[0] for row in table], dtype)
+    t = jnp.where(jnp.isfinite(t), t, 0.0)
+    return LayeredModel(
+        thickness=t,
+        vp=jnp.asarray([row[1] for row in table], dtype),
+        vs=jnp.asarray([row[2] for row in table], dtype),
+        rho=jnp.asarray([row[3] for row in table], dtype))
+
+
+def fukuoka_model(dtype=jnp.float64) -> LayeredModel:
+    """The six-layer crustal model of the reference's Fukuoka-earthquake
+    example (source_location_cmt_W2L2_Figs_9_10_11.ipynb cell 10)."""
+    return layered_model_from_table(
+        [(0.1, 3.2, 2.0, 2.1),
+         (1.9, 5.15, 2.85, 2.5),
+         (3.0, 5.5, 3.2, 2.6),
+         (13.0, 6.0, 3.46, 2.7),
+         (14.0, 6.7, 3.87, 2.8),
+         (float("inf"), 7.7, 4.3, 3.3)], dtype)
+
+
+def uniform_model(vp=6.0, vs=3.46, rho=2.7, nlayers: int = 1,
+                  thickness: float = 5.0, dtype=jnp.float64) -> LayeredModel:
+    """Uniform half-space, optionally split into identical layers (the
+    layer-splitting invariance test of the interface recursion)."""
+    t = jnp.full((nlayers,), thickness, dtype)
+    return LayeredModel(thickness=t,
+                        vp=jnp.full((nlayers,), vp, dtype),
+                        vs=jnp.full((nlayers,), vs, dtype),
+                        rho=jnp.full((nlayers,), rho, dtype))
+
+
+# ---------------------------------------------------------------------------
+# frequency synthesis (shared by the layered forward and the whole-space
+# oracle, so STF/damping conventions cancel exactly in the parity tests)
+# ---------------------------------------------------------------------------
+#
+# Physics convention: time-harmonic fields carry e^{-i omega t}; the spectrum
+# U(omega) = integral u(t) e^{+i omega t} dt, so u(t_j) = irfft(conj(U))/dt.
+# Wrap-around damping: spectra are evaluated at the complex frequency
+# omega_n + i*sigma and the time series multiplied by e^{+sigma t} after the
+# inverse FFT — pyprop8's ``alpha`` trick (prop8seis passes 0.023,
+# loc_cmt_util.py:44), which also moves surface-wave poles off the real
+# k-axis so trapezoid quadrature converges.
+
+
+def _synthesis_grid(nt: int, dt, pad: int = 2, dtype=jnp.float64):
+    """(omega_real (nf,), nfft) for an rfft grid padded ``pad``x."""
+    nfft = int(pad * nt)
+    n = nfft // 2 + 1
+    om = 2.0 * jnp.pi * jnp.arange(n, dtype=dtype) / (nfft * dt)
+    return om, nfft
+
+
+def clp_filter(om, om1, om2):
+    """Cosine low-pass: 1 below om1, tapering to 0 at om2 — the reference's
+    pyprop8.utils.clp_filter source filter (loc_cmt_util.py:43)."""
+    om = jnp.abs(om)
+    ramp = 0.5 * (1.0 + jnp.cos(jnp.pi * (om - om1) / (om2 - om1)))
+    return jnp.where(om <= om1, 1.0, jnp.where(om >= om2, 0.0, ramp))
+
+
+def stf_spectrum(om_real, om_c, stf, dtype=jnp.float64):
+    """Moment time-function spectrum S(omega) at the (complex) synthesis
+    frequencies.
+
+    stf = ("gauss", fc): M(t) = exp(-(pi fc)^2 t^2) — a Gaussian moment
+      pulse whose rate is the derivative-of-Gaussian velocity wavelet of
+      :func:`waveform_ot_tpu.models.seismo.synthetic_seismograms`, enabling
+      the far-field parity test between the two forwards.
+    stf = ("clp_step", f1, f2): M(t) = band-limited Heaviside step — the
+      reference's convention: clp_filter(om, 2 pi 0.05, 2 pi 0.2) applied to
+      a step source (loc_cmt_util.py:43; statics regularized by damping).
+    """
+    kind = stf[0]
+    if kind == "gauss":
+        fc = stf[1]
+        a = (jnp.pi * fc) ** 2
+        return (jnp.sqrt(jnp.pi / a)
+                * jnp.exp(-(om_c * om_c) / (4.0 * a))).astype(
+                    jnp.complex128 if dtype == jnp.float64 else jnp.complex64)
+    if kind == "clp_step":
+        f1, f2 = stf[1], stf[2]
+        band = clp_filter(om_real, 2.0 * jnp.pi * f1, 2.0 * jnp.pi * f2)
+        return band * (1j / om_c)
+    raise ValueError(f"unknown stf kind: {kind!r}")
+
+
+def _synthesize(U, nt: int, dt, sigma, nfft: int):
+    """Spectra (..., nf) at omega_n + i sigma -> time series (..., nt)."""
+    dtype = jnp.float64 if U.dtype == jnp.complex128 else jnp.float32
+    u = jnp.fft.irfft(jnp.conj(U), n=nfft, axis=-1) / dt
+    tt = dt * jnp.arange(nt, dtype=dtype)
+    return u[..., :nt] * jnp.exp(sigma * tt)
+
+
+# ---------------------------------------------------------------------------
+# whole-space analytic oracle
+# ---------------------------------------------------------------------------
+
+
+def _wholespace_spectrum_one(xrel, om_c, vp, vs, rho, m_int):
+    """Exact whole-space displacement spectrum (one receiver offset, one
+    complex frequency), z-down internal frame.
+
+    u_i(omega) = -(1/(4 pi rho omega^2)) [ k_b^2 (M . grad g_b)_i
+                 + d_i (grad^T M grad)(g_b - g_a) ],
+    g_c(x) = e^{i omega |x|/c}/|x| — the frequency-domain form of Aki &
+    Richards (4.29)/(4.34); derivatives taken by autodiff so the oracle
+    cannot disagree with its own formula.
+    """
+
+    def g(x, c):
+        r = jnp.sqrt(jnp.sum(x * x))
+        return jnp.exp(1j * om_c * r / c) / r
+
+    grad_b = jax.jacfwd(lambda x: g(x, vs))(xrel)            # (3,)
+    mdg = m_int @ grad_b                                      # (3,)
+
+    def mhess(x):
+        hb = jax.jacfwd(jax.jacfwd(lambda y: g(y, vs)))(x)
+        ha = jax.jacfwd(jax.jacfwd(lambda y: g(y, vp)))(x)
+        return jnp.sum(m_int * (hb - ha))
+
+    third = jax.jacfwd(mhess)(xrel)                           # (3,)
+    kb2 = (om_c / vs) ** 2
+    return -(kb2 * mdg + third) / (4.0 * jnp.pi * rho * om_c * om_c)
+
+
+# ---------------------------------------------------------------------------
+# per-(omega, k) machinery: eigen blocks, interface R/T, Kennett recursion
+# ---------------------------------------------------------------------------
+#
+# P-SV wavefields are potential-amplitude 2-vectors (P, SV); the motion-
+# stress blocks below are the columns of the 4x4 eigenvector matrix split
+# into displacement (u_x', u_z) and traction (szz, sxz) rows for down- and
+# up-going pairs, derived from displacement potentials with the e^{-i w t}
+# convention (down-going carries e^{+i gamma z}, z down, Im gamma > 0 so
+# every layer phase DECAYS — the stability property Haskell propagators
+# lack and the reason the recursion form is used).
+
+
+def _mat2(a, b, c, d):
+    """Stack scalars into (..., 2, 2)."""
+    return jnp.stack([jnp.stack([a, b], -1), jnp.stack([c, d], -1)], -2)
+
+
+def _inv2(m):
+    det = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    return _mat2(m[..., 1, 1], -m[..., 0, 1],
+                 -m[..., 1, 0], m[..., 0, 0]) / det[..., None, None]
+
+
+def _psv_blocks(k, om_c, vp, vs, rho):
+    """(Ud, Uu, Sd, Su, ga, gb): displacement/traction blocks of the
+    down/up eigenvector columns and the vertical wavenumbers."""
+    ga = jnp.sqrt(om_c * om_c / (vp * vp) - k * k)
+    gb = jnp.sqrt(om_c * om_c / (vs * vs) - k * k)
+    mu = rho * vs * vs
+    chi = 2.0 * k * k - om_c * om_c / (vs * vs)
+    ik = 1j * k
+    Ud = _mat2(ik, -1j * gb, 1j * ga, ik)
+    Uu = _mat2(ik, 1j * gb, -1j * ga, ik)
+    Sd = _mat2(mu * chi, -2.0 * mu * k * gb, -2.0 * mu * k * ga, -mu * chi)
+    Su = _mat2(mu * chi, 2.0 * mu * k * gb, 2.0 * mu * k * ga, -mu * chi)
+    return Ud, Uu, Sd, Su, ga, gb
+
+
+class _Stack2(NamedTuple):
+    """Two-port R/T response of a welded stack (P-SV, 2x2 blocks)."""
+
+    RD: jax.Array
+    TD: jax.Array
+    RU: jax.Array
+    TU: jax.Array
+
+
+def _stack2_identity(like):
+    z = jnp.zeros_like(like)
+    eye = jnp.zeros_like(like).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    return _Stack2(RD=z, TD=eye, RU=z, TU=eye)
+
+
+def _stack2_phase(ga, gb, h):
+    e = _mat2(jnp.exp(1j * ga * h), jnp.zeros_like(ga),
+              jnp.zeros_like(ga), jnp.exp(1j * gb * h))
+    z = jnp.zeros_like(e)
+    return _Stack2(RD=z, TD=e, RU=z, TU=e)
+
+
+def _stack2_compose(s1: _Stack2, s2: _Stack2) -> _Stack2:
+    """Kennett composition of stack s1 on top of stack s2 (all internal
+    multiples of the pair summed by the (I - R R)^{-1} reverberators)."""
+    eye = jnp.zeros_like(s1.RD).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    x = _inv2(eye - s1.RU @ s2.RD)
+    y = _inv2(eye - s2.RD @ s1.RU)
+    return _Stack2(
+        RD=s1.RD + s1.TU @ s2.RD @ x @ s1.TD,
+        TD=s2.TD @ x @ s1.TD,
+        RU=s2.RU + s2.TD @ s1.RU @ y @ s2.TU,
+        TU=s1.TU @ y @ s2.TU)
+
+
+def _interface2(blk1, blk2):
+    """Interface R/T between medium 1 (above) and medium 2 (below), from
+    continuity of (u_x', u_z, szz, sxz): the 4x4 system reduced to 2x2
+    block elimination."""
+    Ud1, Uu1, Sd1, Su1 = blk1[:4]
+    Ud2, Uu2, Sd2, Su2 = blk2[:4]
+    iUd2 = _inv2(Ud2)
+    iUu1 = _inv2(Uu1)
+    RD = _inv2(Su1 - Sd2 @ iUd2 @ Uu1) @ (Sd2 @ iUd2 @ Ud1 - Sd1)
+    TD = iUd2 @ (Ud1 + Uu1 @ RD)
+    RU = _inv2(Sd2 - Su1 @ iUu1 @ Ud2) @ (Su1 @ iUu1 @ Uu2 - Su2)
+    TU = iUu1 @ (Uu2 + Ud2 @ RU)
+    return _Stack2(RD=RD, TD=TD, RU=RU, TU=TU)
+
+
+class _StackSH(NamedTuple):
+    RD: jax.Array
+    TD: jax.Array
+    RU: jax.Array
+    TU: jax.Array
+
+
+def _stacksh_identity(like):
+    z = jnp.zeros_like(like)
+    return _StackSH(RD=z, TD=z + 1.0, RU=z, TU=z + 1.0)
+
+
+def _stacksh_phase(gb, h):
+    e = jnp.exp(1j * gb * h)
+    z = jnp.zeros_like(e)
+    return _StackSH(RD=z, TD=e, RU=z, TU=e)
+
+
+def _stacksh_compose(s1: _StackSH, s2: _StackSH) -> _StackSH:
+    x = 1.0 / (1.0 - s1.RU * s2.RD)
+    return _StackSH(RD=s1.RD + s1.TU * s2.RD * x * s1.TD,
+                    TD=s2.TD * x * s1.TD,
+                    RU=s2.RU + s2.TD * s1.RU * x * s2.TU,
+                    TU=s1.TU * x * s2.TU)
+
+
+def _interfacesh(mu1, gb1, mu2, gb2):
+    """SH interface: classic impedance forms (z_i = mu_i * gb_i)."""
+    z1, z2 = mu1 * gb1, mu2 * gb2
+    den = z1 + z2
+    return _StackSH(RD=(z1 - z2) / den, TD=2.0 * z1 / den,
+                    RU=(z2 - z1) / den, TU=2.0 * z2 / den)
+
+
+def _where_stack(mask, a, b):
+    return type(a)(*(jnp.where(mask, x, y) for x, y in zip(a, b)))
+
+
+# ---------------------------------------------------------------------------
+# source terms: up/down-going wave amplitudes radiated by a point moment
+# tensor, from the Weyl (plane-wave) decomposition of the whole-space field
+# ---------------------------------------------------------------------------
+#
+# Derivation: u_i = -M_jk d_k G_ij in the 3-D wavenumber domain, vertical-
+# wavenumber integral closed by residues at q = ±gamma_{a,b}. Writing the
+# moment tensor through its azimuthal combinations
+#   a0 = (Mxx+Myy)/2, a0z = Mzz, a1c = Mxz, a1s = Myz,
+#   a2c = (Mxx-Myy)/2, a2s = Mxy            (internal z-DOWN frame),
+# the radiated potential amplitudes per azimuthal channel
+# c in {m0, m1 cos, m1 sin, m2 cos, m2 sin} are the closed forms below.
+# Each carries the common factor -1/(4 pi^2 rho_s), applied at assembly.
+# Validated end-to-end against wholespace_seismograms (tests/test_layered).
+
+
+def _psv_sources(k, om_c, ga, gb, chi, a):
+    """dict channel -> (sigma_up (2,), sigma_down (2,)) P-SV amplitudes."""
+    a0, a0z, a1c, a1s, a2c, a2s = a
+    w2 = om_c * om_c
+    pm0 = -1j * (k * k * a0 + ga * ga * a0z) / (2.0 * ga * w2)
+    sv0 = 1j * k * (a0z - a0) / (2.0 * w2)
+    p2 = -1j * k * k / (2.0 * ga * w2)
+    sv1 = -1j * chi / (2.0 * gb * w2)
+    sv2 = -1j * k / (2.0 * w2)
+    p1 = 1j * k / w2
+    return {
+        "m0": (jnp.stack([pm0, sv0]), jnp.stack([pm0, -sv0])),
+        "m1c": (jnp.stack([p1 * a1c, sv1 * a1c]),
+                jnp.stack([-p1 * a1c, sv1 * a1c])),
+        "m1s": (jnp.stack([p1 * a1s, sv1 * a1s]),
+                jnp.stack([-p1 * a1s, sv1 * a1s])),
+        "m2c": (jnp.stack([p2 * a2c, sv2 * a2c]),
+                jnp.stack([p2 * a2c, -sv2 * a2c])),
+        "m2s": (jnp.stack([p2 * a2s, sv2 * a2s]),
+                jnp.stack([p2 * a2s, -sv2 * a2s])),
+    }
+
+
+def _sh_sources(k, gb, beta, a):
+    """dict channel -> (sigma_up, sigma_down) SH amplitudes (no m0: a
+    symmetric moment tensor radiates no axisymmetric SH)."""
+    _, _, a1c, a1s, a2c, a2s = a
+    b2 = 2.0 * beta * beta
+    kk = k / (b2 * gb)
+    return {
+        "m1c": (-a1s / b2 + 0j, a1s / b2 + 0j),
+        "m1s": (a1c / b2 + 0j, -a1c / b2 + 0j),
+        "m2c": (kk * a2s, kk * a2s),
+        "m2s": (-kk * a2c, -kk * a2c),
+    }
+
+
+def wholespace_seismograms(x, y, z, mxyz, stations: StationSet, nt: int = 61,
+                           dt: float = 1.0, vp=6.0, vs=3.46, rho=2.7,
+                           stf=("gauss", 0.08), alpha_damp: float = 0.023,
+                           pad: int = 2, t0: float = 0.0):
+    """Closed-form whole-space moment-tensor seismograms (nr, 3, nt) —
+    near+intermediate+far field, all frame/synthesis conventions identical
+    to :func:`layered_seismograms`. Validation oracle: the layered forward
+    in ``free_surface=False`` mode on a uniform model must reproduce this,
+    and the far field reduces to ``synthetic_seismograms``."""
+    dtype = jnp.asarray(x).dtype
+    om, nfft = _synthesis_grid(nt, dt, pad=pad, dtype=dtype)
+    om_c = om + 1j * alpha_damp
+    # internal z-down frame: flip the z axis of M and of the offsets
+    flip = jnp.array([[1.0, 1.0, -1.0],
+                      [1.0, 1.0, -1.0],
+                      [-1.0, -1.0, 1.0]], dtype)
+    m_int = jnp.asarray(mxyz) * flip
+    xrel = jnp.stack([stations.x - x, stations.y - y,
+                      jnp.broadcast_to(jnp.asarray(-z, dtype),
+                                       stations.x.shape)], axis=-1)  # (nr,3)
+    spec = jax.vmap(lambda xr: jax.vmap(
+        lambda w: _wholespace_spectrum_one(xr, w, vp, vs, rho, m_int)
+    )(om_c))(xrel)                                            # (nr, nf, 3)
+    s = stf_spectrum(om, om_c, stf, dtype)
+    # time shift so the source acts at t0 relative to the trace start
+    s = s * jnp.exp(1j * om_c * (-t0))
+    U = jnp.moveaxis(spec, -1, 1) * s                         # (nr, 3, nf)
+    u = _synthesize(U, nt, dt, alpha_damp, nfft)
+    u = u.at[:, 2, :].multiply(-1.0)                          # z-down -> up
+    tt = t0 + dt * jnp.arange(nt, dtype=dtype)
+    return tt, u
+
+
+# ---------------------------------------------------------------------------
+# per-frequency surface response: masked-depth stack assembly
+# ---------------------------------------------------------------------------
+#
+# The source may sit anywhere in the column; which layer contains it is a
+# traced quantity, so the A-stack (free surface down to the source level)
+# and B-stack (source level down to the radiating half-space) are built
+# with *every* interface present but masked to the identity two-port when
+# it falls on the wrong side of the source, and with partial layer phases
+# clip(.)-limited to the sub-thickness on the right side. The response is
+# therefore one static program, smooth in source depth within a layer and
+# piecewise-smooth across layer boundaries (physically correct: moving the
+# source through an interface genuinely changes the radiation).
+
+
+def _layer_tops(model: LayeredModel):
+    """(nlay,) depth of each layer's top; tops[0] = 0."""
+    return jnp.concatenate([jnp.zeros((1,), model.thickness.dtype),
+                            jnp.cumsum(model.thickness[:-1])])
+
+
+def _apply2(m, v):
+    """(nk,2,2) @ (2,nk) -> (2,nk)."""
+    return jnp.einsum("kij,jk->ik", m, v)
+
+
+def _surface_response(model: LayeredModel, zs, om_c, k, a,
+                      free_surface=True):
+    """k-domain surface displacements for every azimuthal source channel.
+
+    Args: zs source depth (>0, km), om_c one complex frequency, k (nk,)
+    real horizontal wavenumbers, a the six azimuthal moment coefficients
+    (a0, a0z, a1c, a1s, a2c, a2s). Returns dict with
+      'psv': channel -> (2, nk) complex (u_along_khat, u_z_down),
+      'sh':  channel -> (nk,) complex (u along phi_hat of k),
+    common factor -1/(4 pi^2 rho_src) NOT yet applied.
+    """
+    nlay = model.nlayers
+    tops = _layer_tops(model)
+    iface_depth = jnp.cumsum(model.thickness[:-1])        # (nlay-1,)
+    zbot = jnp.concatenate([iface_depth,
+                            jnp.full((1,), jnp.inf, tops.dtype)])
+
+    blocks = [_psv_blocks(k, om_c, model.vp[i], model.vs[i], model.rho[i])
+              for i in range(nlay)]
+
+    # partial thicknesses on each side of the source
+    h_above = [jnp.clip(jnp.minimum(zbot[i], zs) - tops[i], 0.0, None)
+               for i in range(nlay)]
+    h_below = [jnp.clip(jnp.minimum(zbot[i], 1e9) - jnp.maximum(tops[i], zs),
+                        0.0, None)
+               for i in range(nlay)]
+
+    eye_like = blocks[0][0]                                # any (nk,2,2)
+    ident2 = _stack2_identity(eye_like)
+    identsh = _stacksh_identity(blocks[0][4])              # (nk,) scalar like
+
+    mu = [model.rho[i] * model.vs[i] ** 2 for i in range(nlay)]
+
+    # A-stack: free-surface side, top -> source level
+    SA2, SAsh = ident2, identsh
+    for i in range(nlay):
+        if i > 0:
+            in_a = iface_depth[i - 1] <= zs
+            if2 = _where_stack(in_a, _interface2(blocks[i - 1], blocks[i]),
+                               ident2)
+            ifsh = _where_stack(in_a,
+                                _interfacesh(mu[i - 1], blocks[i - 1][5],
+                                             mu[i], blocks[i][5]), identsh)
+            SA2 = _stack2_compose(SA2, if2)
+            SAsh = _stacksh_compose(SAsh, ifsh)
+        SA2 = _stack2_compose(SA2, _stack2_phase(blocks[i][4], blocks[i][5],
+                                                 h_above[i]))
+        SAsh = _stacksh_compose(SAsh, _stacksh_phase(blocks[i][5],
+                                                     h_above[i]))
+
+    # B-stack: source level -> radiating half-space (trailing half-space
+    # phase omitted: it cannot change RD seen from the source side)
+    SB2, SBsh = ident2, identsh
+    for i in range(nlay - 1):
+        SB2 = _stack2_compose(SB2, _stack2_phase(blocks[i][4], blocks[i][5],
+                                                 h_below[i]))
+        SBsh = _stacksh_compose(SBsh, _stacksh_phase(blocks[i][5],
+                                                     h_below[i]))
+        in_b = iface_depth[i] > zs
+        if2 = _where_stack(in_b, _interface2(blocks[i], blocks[i + 1]),
+                           ident2)
+        ifsh = _where_stack(in_b,
+                            _interfacesh(mu[i], blocks[i][5],
+                                         mu[i + 1], blocks[i + 1][5]),
+                            identsh)
+        SB2 = _stack2_compose(SB2, if2)
+        SBsh = _stacksh_compose(SBsh, ifsh)
+
+    Ud0, Uu0, Sd0, Su0 = blocks[0][:4]
+    eye = jnp.zeros_like(eye_like)
+    eye = eye.at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    if free_surface:
+        RF2 = -_inv2(Sd0) @ Su0                  # traction-free surface
+        RFsh = jnp.ones_like(blocks[0][5])
+    else:
+        RF2 = jnp.zeros_like(eye_like)
+        RFsh = jnp.zeros_like(blocks[0][5])
+
+    # receiver map W: upgoing at source level -> displacement 2-vector at
+    # z=0 (incl. free-surface conversion and A-stack reverberations)
+    rev2 = _inv2(eye - SA2.RD @ RF2)
+    W2 = (Uu0 + Ud0 @ RF2) @ rev2 @ SA2.TU
+    RA2 = SA2.RU + SA2.TD @ RF2 @ rev2 @ SA2.TU  # looking up from source
+    revsh = 1.0 / (1.0 - SAsh.RD * RFsh)
+    Wsh = (1.0 + RFsh) * revsh * SAsh.TU
+    RAsh = SAsh.RU + SAsh.TD * RFsh * revsh * SAsh.TU
+
+    RB2, RBsh = SB2.RD, SBsh.RD
+
+    # source-layer material (dynamic gather over the layer axis)
+    ls = jnp.searchsorted(iface_depth, zs, side="right")
+    ga_l = jnp.stack([b[4] for b in blocks])               # (nlay, nk)
+    gb_l = jnp.stack([b[5] for b in blocks])
+    ga_s = jnp.take(ga_l, ls, axis=0)
+    gb_s = jnp.take(gb_l, ls, axis=0)
+    vs_s = jnp.take(model.vs, ls)
+    chi_s = 2.0 * k * k - om_c * om_c / (vs_s * vs_s)
+
+    src2 = _psv_sources(k, om_c, ga_s, gb_s, chi_s, a)
+    srcsh = _sh_sources(k, gb_s, vs_s, a)
+
+    inner2 = _inv2(eye - RA2 @ RB2)
+    out = {"psv": {}, "sh": {}}
+    for ch, (su, sd) in src2.items():
+        db = _apply2(inner2, sd + _apply2(RA2, su))
+        ua = su + _apply2(RB2, db)
+        out["psv"][ch] = _apply2(W2, ua)
+    innersh = 1.0 / (1.0 - RAsh * RBsh)
+    for ch, (su, sd) in srcsh.items():
+        db = innersh * (sd + RAsh * su)
+        out["sh"][ch] = Wsh * (su + RBsh * db)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# wavenumber -> receiver assembly (azimuthal Bessel synthesis)
+# ---------------------------------------------------------------------------
+#
+# Channel angular factors T_c(phi_k) reduce the 2-D k-plane integral to
+# Hankel-type k integrals per harmonic order m:
+#   int d(phi_k) e^{i k r cos(phi_k-phi)} cos(m phi_k) = 2 pi i^m J_m(kr) cos(m phi)
+# and the along-k_hat / transverse-to-k_hat horizontal components split
+# into J'_m and (m/kr) J_m via the standard recurrences. With
+# P = J'_m(kr), Q = m J_m(kr)/(kr), Z = J_m(kr), per unit k-weight:
+#   cos-type: u_r = i^{m+1}[-P h cos(m phi) - Q s sin(m phi)]
+#             u_phi = i^{m+1}[ Q h sin(m phi) - P s cos(m phi)]
+#             u_z = i^m Z v cos(m phi)
+#   sin-type: u_r = i^{m+1}[-P h sin(m phi) + Q s cos(m phi)]
+#             u_phi = i^{m+1}[-Q h cos(m phi) - P s sin(m phi)]
+#             u_z = i^m Z v sin(m phi)
+# and u = -(1/(2 pi rho_src)) sum_k k dk [...] (the 2 pi of the angular
+# integral folded into the source common factor -1/(4 pi^2 rho_src)).
+
+_CHANNELS = (("m0", 0, "cos"), ("m1c", 1, "cos"), ("m1s", 1, "sin"),
+             ("m2c", 2, "cos"), ("m2s", 2, "sin"))
+
+
+def _assemble_receivers(resp, k, dk, r, phi, rho_src):
+    """One frequency: channel responses -> (nr, 3) cartesian (x, y, z-down)
+    complex displacements."""
+    x = r[:, None] * k[None, :]                       # (nr, nk)
+    j = bessel_j0123(x.reshape(-1)).reshape(4, *x.shape)   # J0..J3
+    xs = jnp.where(x > 1e-12, x, 1.0)
+    jp = {0: -j[1], 1: 0.5 * (j[0] - j[2]), 2: 0.5 * (j[1] - j[3])}
+    jq = {0: jnp.zeros_like(j[0]), 1: j[1] / xs, 2: 2.0 * j[2] / xs}
+    w = k * dk                                        # (nk,) midpoint weight
+
+    ur = jnp.zeros(r.shape, j.dtype if jnp.iscomplexobj(j) else
+                   (jnp.complex128 if j.dtype == jnp.float64
+                    else jnp.complex64))
+    uphi = jnp.zeros_like(ur)
+    uz = jnp.zeros_like(ur)
+    for name, m, typ in _CHANNELS:
+        h, v = resp["psv"][name]                      # (nk,) each
+        s = resp["sh"].get(name)
+        P, Q, Z = jp[m], jq[m], j[m]
+        ip1 = 1j ** (m + 1)
+        im = 1j ** m
+        # (nr, nk) x (nk,) contractions
+        Ph = jnp.einsum("rk,k->r", P, w * h)
+        Zv = jnp.einsum("rk,k->r", Z, w * v)
+        if s is not None:
+            Qs = jnp.einsum("rk,k->r", Q, w * s)
+            Ps = jnp.einsum("rk,k->r", P, w * s)
+        else:
+            Qs = Ps = 0.0
+        Qh = jnp.einsum("rk,k->r", Q, w * h)
+        c, sn = jnp.cos(m * phi), jnp.sin(m * phi)
+        if typ == "cos":
+            ur = ur + ip1 * (-Ph * c - Qs * sn)
+            uphi = uphi + ip1 * (Qh * sn - Ps * c)
+            uz = uz + im * Zv * c
+        else:
+            ur = ur + ip1 * (-Ph * sn + Qs * c)
+            uphi = uphi + ip1 * (-Qh * c - Ps * sn)
+            uz = uz + im * Zv * sn
+    # Sign pinned numerically by the whole-space oracle (every channel,
+    # component, and azimuth agrees with wholespace_seismograms at the
+    # quadrature tolerance with +; all flip together with -).
+    pref = 1.0 / (2.0 * jnp.pi * rho_src)
+    ur, uphi, uz = pref * ur, pref * uphi, pref * uz
+    ux = ur * jnp.cos(phi) - uphi * jnp.sin(phi)
+    uy = ur * jnp.sin(phi) + uphi * jnp.cos(phi)
+    return jnp.stack([ux, uy, uz], axis=-1)           # (nr, 3) z-down
+
+
+def _stf_cutoff(stf, om_max: float) -> float:
+    """Static (python-float) angular-frequency support bound of the STF."""
+    if stf[0] == "clp_step":
+        return min(om_max, 2.0 * math.pi * float(stf[2]))
+    if stf[0] == "gauss":
+        a = (math.pi * float(stf[1])) ** 2
+        return min(om_max, 2.0 * math.sqrt(a * math.log(1e12)))
+    return om_max
+
+
+def layered_seismograms(x, y, z, mxyz, stations: StationSet,
+                        model: LayeredModel | None = None, nt: int = 61,
+                        dt: float = 1.0, stf=("clp_step", 0.05, 0.2),
+                        alpha_damp: float = 0.023, pad: int = 2,
+                        t0: float = 0.0, nk: int = 1024, kmax: float = 2.5,
+                        free_surface: bool = True):
+    """Layered-medium three-component seismograms (nr, 3, nt).
+
+    The TPU-native replacement for the reference's pyprop8 forward
+    (prop8seis, loc_cmt_util.py:28-58): differentiable in source position
+    (x, y, z) and moment tensor ``mxyz``, jit/vmap-compatible, components
+    (ux=North, uy=East, uz=Up), z = source depth in km (positive down).
+
+    ``free_surface=False`` buries the receivers in an unbounded medium
+    above — the mode the whole-space parity tests use.
+    """
+    if model is None:
+        model = fukuoka_model()
+    dtype = jnp.asarray(x).dtype
+    om, nfft = _synthesis_grid(nt, dt, pad=pad, dtype=dtype)
+    dom = 2.0 * math.pi / (nfft * dt)           # static python float
+    om_nyq = dom * (nfft // 2)
+    n_act = min(om.shape[0], int(_stf_cutoff(stf, om_nyq) / dom) + 2)
+    om_act = om[:n_act]
+    om_c_act = om_act + 1j * alpha_damp
+
+    dk = kmax / nk
+    k = (jnp.arange(nk, dtype=dtype) + 0.5) * dk       # midpoint rule
+
+    # azimuthal moment coefficients in the internal z-down frame
+    flip = jnp.array([[1.0, 1.0, -1.0],
+                      [1.0, 1.0, -1.0],
+                      [-1.0, -1.0, 1.0]], dtype)
+    m_int = jnp.asarray(mxyz) * flip
+    a = ((m_int[0, 0] + m_int[1, 1]) / 2.0, m_int[2, 2],
+         m_int[0, 2], m_int[1, 2],
+         (m_int[0, 0] - m_int[1, 1]) / 2.0, m_int[0, 1])
+
+    dxr = stations.x - x
+    dyr = stations.y - y
+    r = jnp.sqrt(dxr * dxr + dyr * dyr)
+    r = jnp.maximum(r, 1e-6)
+    phi = jnp.arctan2(dyr, dxr)
+    rho_src = jnp.take(model.rho,
+                       jnp.searchsorted(jnp.cumsum(model.thickness[:-1]),
+                                        z, side="right"))
+
+    def one_freq(om_c):
+        resp = _surface_response(model, z, om_c, k, a,
+                                 free_surface=free_surface)
+        return _assemble_receivers(resp, k, dk, r, phi, rho_src)
+
+    spec_act = jax.vmap(one_freq)(om_c_act)            # (n_act, nr, 3)
+    nf = om.shape[0]
+    spec = jnp.zeros((nf,) + spec_act.shape[1:], spec_act.dtype)
+    spec = spec.at[:n_act].set(spec_act)
+    s = stf_spectrum(om, om + 1j * alpha_damp, stf, dtype)
+    s = s * jnp.exp(1j * (om + 1j * alpha_damp) * (-t0))
+    U = jnp.moveaxis(spec, 0, -1) * s                  # (nr, 3, nf)
+    u = _synthesize(U, nt, dt, alpha_damp, nfft)
+    u = u.at[:, 2, :].multiply(-1.0)                   # z-down -> up
+    tt = t0 + dt * jnp.arange(nt, dtype=dtype)
+    return tt, u
+
+
+def make_layered_forward(stations: StationSet,
+                         model: LayeredModel | None = None, nt: int = 61,
+                         dt: float = 1.0, **kw):
+    """Bind a station/model configuration into the pluggable-forward
+    signature the inversion layer consumes:
+    ``forward(x, y, z, mxyz) -> (nr, 3, nt)``
+    (inversion/loc_cmt.py predicted_seismograms). Extra keywords are passed
+    to :func:`layered_seismograms` (nk, kmax, stf, alpha_damp, t0, ...)."""
+    if model is None:
+        model = fukuoka_model()
+
+    def forward(x, y, z, mxyz):
+        return layered_seismograms(x, y, z, mxyz, stations, model=model,
+                                   nt=nt, dt=dt, **kw)[1]
+
+    return forward
