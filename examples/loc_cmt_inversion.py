@@ -1,13 +1,18 @@
 """Earthquake source-location inversion with W2 vs L2 misfits
 (reference source_location_cmt_W2L2_Figs_9_10_11).
 
-Synthetic seismograms (on-device far-field forward; swap in the pyprop8
-bridge when pyprop8 is installed) at a ring of receivers, observed side
-perturbed with noise; one L-BFGS-B inversion per misfit plus a vmapped
-misfit-grid scan — the scan the reference runs as 1,764 serial objective
-evaluations is one jitted call here.
+Default physics is the on-device layered-medium f-k forward
+(models/layered.py) on the reference's six-layer Fukuoka crustal model
+with the GCMT 2005 Mw 6.6 mechanism (strike=302, dip=88, rake=-14,
+Figs_9_10_11 cells 10-23) — the same experiment the reference drives with
+pyprop8. ``--physics farfield`` switches to the homogeneous far-field
+synthetic for a fast smoke run. Observed data carry white noise; one
+L-BFGS-B inversion per misfit plus a vmapped misfit-grid scan (the scan
+the reference runs as 1,764 serial objective evaluations and caches to
+pickle is one jitted call here).
 
-Run: python examples/loc_cmt_inversion.py [--nr 12] [--grid 11] [--plot]
+Run: python examples/loc_cmt_inversion.py [--physics layered|farfield]
+     [--grid 7] [--nk 384] [--plot]
 """
 
 import argparse
@@ -23,22 +28,43 @@ import jax
 import jax.numpy as jnp
 
 
-def main(nr: int = 12, grid: int = 11, plot: bool = False) -> None:
+FUKUOKA_X = [10., 30., 50., -15., 8., 25., -25., 55., 80., 75., -70.]
+FUKUOKA_Y = [-75., -77., -70., -50., -46., -42., -25., -26., -23., -5., 30.]
+
+
+def main(physics: str = "layered", grid: int = 7, nk: int = 384,
+         plot: bool = False) -> None:
+    jax.config.update("jax_enable_x64", True)
     from waveform_ot_tpu.inversion import (
         InvOptions, TraceConfig, build_loc_cmt_problem,
         loc_cmt_value_and_grad, minimize_scipy, misfit_grid,
     )
     from waveform_ot_tpu.models import (
-        StationSet, moment_tensor_from_sdr, synthetic_seismograms,
+        StationSet, fukuoka_model, make_layered_forward,
+        moment_tensor_from_sdr, synthetic_seismograms,
     )
 
     nt = 61
-    ang = np.linspace(0, 2 * np.pi, nr, endpoint=False)
-    stations = StationSet(x=jnp.array(60.0 * np.cos(ang) + 5.0),
-                          y=jnp.array(60.0 * np.sin(ang) - 3.0))
-    loc_true = jnp.array([2.0, -1.5, 12.0])
-    mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6)
-    t, s = synthetic_seismograms(*loc_true, mxyz, stations, nt=nt, dt=1.0)
+    if physics == "layered":
+        # the reference's Fukuoka network (Figs_9_10_11 cell 17)
+        stations = StationSet(x=jnp.array(FUKUOKA_X), y=jnp.array(FUKUOKA_Y))
+        # GCMT mechanism, Mo in the reference's 1e-13/Nm moment units
+        mxyz = moment_tensor_from_sdr(302.0, 88.0, -14.0, m0=0.93e6)
+        loc_true = jnp.array([1.0, 1.0, 20.0])
+        forward = make_layered_forward(stations, model=fukuoka_model(),
+                                       nt=nt, dt=1.0, nk=nk, kmax=1.8)
+        t = jnp.arange(nt, dtype=jnp.float64)
+        s = forward(*loc_true, mxyz)
+    else:
+        nr = 12
+        ang = np.linspace(0, 2 * np.pi, nr, endpoint=False)
+        stations = StationSet(x=jnp.array(60.0 * np.cos(ang) + 5.0),
+                              y=jnp.array(60.0 * np.sin(ang) - 3.0))
+        loc_true = jnp.array([2.0, -1.5, 12.0])
+        mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6)
+        forward = None
+        t, s = synthetic_seismograms(*loc_true, mxyz, stations, nt=nt,
+                                     dt=1.0)
     rng = np.random.default_rng(7)
     obs = s + 0.01 * float(jnp.max(jnp.abs(s))) * jnp.array(
         rng.standard_normal(s.shape))
@@ -46,30 +72,34 @@ def main(nr: int = 12, grid: int = 11, plot: bool = False) -> None:
     cfg = TraceConfig(nu=79, ntg=nt, lambdav=0.04, q=None, p=2)
     prob = build_loc_cmt_problem(t, obs, stations, cfg,
                                  mxyz_fixed=mxyz)
-    m0 = loc_true + jnp.array([25.0, -20.0, 8.0])
-    print("start:", np.asarray(m0), " true:", np.asarray(loc_true))
+    m0 = loc_true + jnp.array([20.0, -15.0, 6.0])
+    print(f"physics={physics}  start: {np.asarray(m0)}  "
+          f"true: {np.asarray(loc_true)}")
 
     for mistype in ("OT", "L2"):
         opts = InvOptions(loc=True, cmt=False, mistype=mistype)
         res = minimize_scipy(
-            lambda m: loc_cmt_value_and_grad(m, prob, opts, cfg), m0)
+            lambda m: loc_cmt_value_and_grad(m, prob, opts, cfg,
+                                             forward=forward), m0)
         err = np.linalg.norm(res.x - np.asarray(loc_true))
         print(f"{mistype}: solution={np.round(res.x, 3)} |err|={err:.3f} "
               f"iters={res.nit} success={res.success}")
 
-    # vmapped misfit surface scan over (x, y) at a few depths --------------
+    # vmapped misfit surface scan over (x, y) at two depths ----------------
     opts = InvOptions(loc=True, cmt=False, mistype="OT")
     xs = jnp.linspace(-40.0, 44.0, grid)
     ys = jnp.linspace(-40.0, 44.0, grid)
-    zs = jnp.array([6.0, 12.0, 20.0])
+    zs = jnp.array([10.0, 20.0]) if physics == "layered" else \
+        jnp.array([6.0, 12.0, 20.0])
     xv, yv, zv = jnp.meshgrid(xs, ys, zs, indexing="ij")
     ms = jnp.stack([xv.ravel(), yv.ravel(), zv.ravel()], axis=1)
-    scan = jax.jit(lambda mm: misfit_grid(mm, prob, opts, cfg))
+    scan = jax.jit(lambda mm: misfit_grid(mm, prob, opts, cfg,
+                                          forward=forward))
     t0 = time.perf_counter()
     vals = scan(ms)
     jax.block_until_ready(vals)
-    print(f"misfit grid {grid}x{grid}x3 = {ms.shape[0]} objective evals: "
-          f"{time.perf_counter()-t0:.2f} s (incl. compile)")
+    print(f"misfit grid {grid}x{grid}x{zs.shape[0]} = {ms.shape[0]} "
+          f"objective evals: {time.perf_counter()-t0:.2f} s (incl. compile)")
     t0 = time.perf_counter()
     vals = scan(ms)
     jax.block_until_ready(vals)
@@ -80,12 +110,13 @@ def main(nr: int = 12, grid: int = 11, plot: bool = False) -> None:
     if plot:
         from waveform_ot_tpu import viz
 
-        v3 = np.asarray(vals).reshape(grid, grid, 3)
+        nz = int(zs.shape[0])
+        v3 = np.asarray(vals).reshape(grid, grid, nz)
         xg, yg = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
-        viz.plot_misfit_section(v3[:, :, 1], xg, yg,
+        viz.plot_misfit_section(v3[:, :, nz - 1], xg, yg,
                                 sol=(float(loc_true[0]),
                                      float(loc_true[1])),
-                                title="W2 misfit at z=12 km",
+                                title=f"W2 misfit at z={float(zs[-1])} km",
                                 filename="loc_cmt_misfit_section.png")
         viz.plot_seismograms(np.asarray(s[:4]), np.asarray(t),
                              overlays=[np.asarray(obs[:4])],
@@ -95,7 +126,9 @@ def main(nr: int = 12, grid: int = 11, plot: bool = False) -> None:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nr", type=int, default=12)
-    ap.add_argument("--grid", type=int, default=11)
+    ap.add_argument("--physics", choices=("layered", "farfield"),
+                    default="layered")
+    ap.add_argument("--grid", type=int, default=7)
+    ap.add_argument("--nk", type=int, default=384)
     ap.add_argument("--plot", action="store_true")
     main(**vars(ap.parse_args()))

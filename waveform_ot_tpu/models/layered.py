@@ -117,6 +117,160 @@ def _bessel_j0123_jvp(primals, tangents):
 
 
 # ---------------------------------------------------------------------------
+# split-complex arithmetic (CZ): explicit (re, im) float64 pairs
+# ---------------------------------------------------------------------------
+#
+# The axon TPU runtime supports float64 but NOT complex128 ("Element type
+# C128 is not supported on TPU"), while the interface R/T solve needs true
+# f64 (the P-SV eigenbasis degenerates as omega -> 0 and float32 turns the
+# cancellation into NaN). The response stage therefore runs its complex
+# algebra on explicit real pairs — semantically identical to complex128,
+# executable on any backend with f64, and autodiff flows through plain
+# real ops (no complex-AD edge cases).
+
+
+class CZ:
+    """Complex array as an explicit (re, im) pair. Supports +, -, *, /,
+    unary -, @ (batched 2x2 matmul), and indexing; mixed operands may be
+    real arrays/scalars. Registered as a pytree."""
+
+    __slots__ = ("re", "im")
+
+    def __init__(self, re, im=None):
+        self.re = re
+        self.im = jnp.zeros_like(re) if im is None else im
+
+    # -- pytree -------------------------------------------------------------
+    def tree_flatten(self):
+        return (self.re, self.im), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.re, obj.im = children
+        return obj
+
+    # -- arithmetic ---------------------------------------------------------
+    def __add__(self, o):
+        if isinstance(o, CZ):
+            return CZ(self.re + o.re, self.im + o.im)
+        return CZ(self.re + o, self.im + jnp.zeros_like(jnp.asarray(o)))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, CZ):
+            return CZ(self.re - o.re, self.im - o.im)
+        return CZ(self.re - o, self.im + jnp.zeros_like(jnp.asarray(o)))
+
+    def __rsub__(self, o):
+        return CZ(o - self.re, jnp.zeros_like(jnp.asarray(o)) - self.im)
+
+    def __mul__(self, o):
+        if isinstance(o, CZ):
+            return CZ(self.re * o.re - self.im * o.im,
+                      self.re * o.im + self.im * o.re)
+        return CZ(self.re * o, self.im * o)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        if isinstance(o, CZ):
+            d = o.re * o.re + o.im * o.im
+            return CZ((self.re * o.re + self.im * o.im) / d,
+                      (self.im * o.re - self.re * o.im) / d)
+        return CZ(self.re / o, self.im / o)
+
+    def __rtruediv__(self, o):
+        d = self.re * self.re + self.im * self.im
+        return CZ(o * self.re / d, -o * self.im / d)
+
+    def __neg__(self):
+        return CZ(-self.re, -self.im)
+
+    def __matmul__(self, o):
+        if isinstance(o, CZ):
+            return CZ(self.re @ o.re - self.im @ o.im,
+                      self.re @ o.im + self.im @ o.re)
+        return CZ(self.re @ o, self.im @ o)
+
+    def __rmatmul__(self, o):
+        return CZ(o @ self.re, o @ self.im)
+
+    def __getitem__(self, idx):
+        return CZ(self.re[idx], self.im[idx])
+
+    # -- conversions --------------------------------------------------------
+    def astype(self, rdtype):
+        return CZ(self.re.astype(rdtype), self.im.astype(rdtype))
+
+    def to_complex(self, cdtype):
+        return self.re.astype(cdtype) + 1j * self.im.astype(cdtype)
+
+
+jax.tree_util.register_pytree_node(
+    CZ, lambda z: z.tree_flatten(), CZ.tree_unflatten)
+
+
+def cz_imag(v):
+    """i * v for a real array/scalar v."""
+    v = jnp.asarray(v)
+    return CZ(jnp.zeros_like(v), v)
+
+
+def cz_stack(zs, axis=0):
+    return CZ(jnp.stack([z.re for z in zs], axis),
+              jnp.stack([z.im for z in zs], axis))
+
+
+def cz_zeros_like(z: CZ):
+    return CZ(jnp.zeros_like(z.re), jnp.zeros_like(z.im))
+
+
+def cz_where(mask, a: CZ, b: CZ):
+    return CZ(jnp.where(mask, a.re, b.re), jnp.where(mask, a.im, b.im))
+
+
+def cz_take(z: CZ, idx, axis=0):
+    return CZ(jnp.take(z.re, idx, axis=axis), jnp.take(z.im, idx, axis=axis))
+
+
+def cz_exp(z: CZ):
+    e = jnp.exp(z.re)
+    return CZ(e * jnp.cos(z.im), e * jnp.sin(z.im))
+
+
+@jax.custom_jvp
+def _csqrt_pair(re, im):
+    """Principal sqrt of re + i*im with the im = +0 side of the branch cut
+    (sqrt(-x) = +i sqrt(x)) — the Im(gamma) >= 0 convention the decaying
+    layer phases need. Stable two-branch form (no cancellation for re<0)."""
+    r = jnp.hypot(re, im)
+    t = jnp.sqrt(0.5 * (r + jnp.abs(re)))
+    t_safe = jnp.where(t == 0.0, 1.0, t)
+    sgn = jnp.where(im >= 0.0, 1.0, -1.0)
+    re_pos = (t, 0.5 * im / t_safe)
+    re_neg = (0.5 * jnp.abs(im) / t_safe, sgn * t)
+    return (jnp.where(re >= 0.0, re_pos[0], re_neg[0]),
+            jnp.where(re >= 0.0, re_pos[1], re_neg[1]))
+
+
+@_csqrt_pair.defjvp
+def _csqrt_pair_jvp(primals, tangents):
+    # d sqrt(z) = dz / (2 sqrt(z)): finite whenever z != 0, unlike the
+    # naive derivative of the branchy primal formula (0/0 at the cut).
+    (re, im), (dre, dim) = primals, tangents
+    sre, sim = _csqrt_pair(re, im)
+    out = CZ(sre, sim)
+    dz = CZ(dre, dim) / (2.0 * out)
+    return (sre, sim), (dz.re, dz.im)
+
+
+def cz_sqrt(z: CZ):
+    return CZ(*_csqrt_pair(z.re, z.im))
+
+
+# ---------------------------------------------------------------------------
 # model container
 # ---------------------------------------------------------------------------
 
@@ -288,29 +442,45 @@ def _wholespace_spectrum_one(xrel, om_c, vp, vs, rho, m_int):
 # lack and the reason the recursion form is used).
 
 
+def _promote_cz(v, like: CZ) -> CZ:
+    if isinstance(v, CZ):
+        return v
+    return CZ(jnp.broadcast_to(jnp.asarray(v), like.re.shape) *
+              jnp.ones_like(like.re))
+
+
 def _mat2(a, b, c, d):
-    """Stack scalars into (..., 2, 2)."""
-    return jnp.stack([jnp.stack([a, b], -1), jnp.stack([c, d], -1)], -2)
+    """Stack four CZ (or real) scalars into a CZ of shape (..., 2, 2)."""
+    ref = next(v for v in (a, b, c, d) if isinstance(v, CZ))
+    a, b, c, d = (_promote_cz(v, ref) for v in (a, b, c, d))
+    st = lambda u, v: jnp.stack([u, v], -1)
+    return CZ(jnp.stack([st(a.re, b.re), st(c.re, d.re)], -2),
+              jnp.stack([st(a.im, b.im), st(c.im, d.im)], -2))
 
 
-def _inv2(m):
+def _inv2(m: CZ) -> CZ:
     det = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
     return _mat2(m[..., 1, 1], -m[..., 0, 1],
                  -m[..., 1, 0], m[..., 0, 0]) / det[..., None, None]
 
 
-def _psv_blocks(k, om_c, vp, vs, rho):
+def _psv_blocks(k, om_c: CZ, vp, vs, rho):
     """(Ud, Uu, Sd, Su, ga, gb): displacement/traction blocks of the
-    down/up eigenvector columns and the vertical wavenumbers."""
-    ga = jnp.sqrt(om_c * om_c / (vp * vp) - k * k)
-    gb = jnp.sqrt(om_c * om_c / (vs * vs) - k * k)
+    down/up eigenvector columns and the vertical wavenumbers (all CZ)."""
+    w2 = om_c * om_c
+    ga = cz_sqrt(w2 / (vp * vp) - k * k)
+    gb = cz_sqrt(w2 / (vs * vs) - k * k)
     mu = rho * vs * vs
-    chi = 2.0 * k * k - om_c * om_c / (vs * vs)
-    ik = 1j * k
-    Ud = _mat2(ik, -1j * gb, 1j * ga, ik)
-    Uu = _mat2(ik, 1j * gb, -1j * ga, ik)
-    Sd = _mat2(mu * chi, -2.0 * mu * k * gb, -2.0 * mu * k * ga, -mu * chi)
-    Su = _mat2(mu * chi, 2.0 * mu * k * gb, 2.0 * mu * k * ga, -mu * chi)
+    chi = 2.0 * k * k - w2 / (vs * vs)
+    ik = cz_imag(k)
+    iga = CZ(-ga.im, ga.re)          # i * ga
+    igb = CZ(-gb.im, gb.re)
+    Ud = _mat2(ik, -igb, iga, ik)
+    Uu = _mat2(ik, igb, -iga, ik)
+    Sd = _mat2(mu * chi, (-2.0 * mu) * (k * gb), (-2.0 * mu) * (k * ga),
+               -mu * chi)
+    Su = _mat2(mu * chi, (2.0 * mu) * (k * gb), (2.0 * mu) * (k * ga),
+               -mu * chi)
     return Ud, Uu, Sd, Su, ga, gb
 
 
@@ -323,23 +493,28 @@ class _Stack2(NamedTuple):
     TU: jax.Array
 
 
-def _stack2_identity(like):
-    z = jnp.zeros_like(like)
-    eye = jnp.zeros_like(like).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
-    return _Stack2(RD=z, TD=eye, RU=z, TU=eye)
+def _eye2_like(m: CZ) -> CZ:
+    eye = jnp.zeros_like(m.re).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    return CZ(eye, jnp.zeros_like(m.re))
 
 
-def _stack2_phase(ga, gb, h):
-    e = _mat2(jnp.exp(1j * ga * h), jnp.zeros_like(ga),
-              jnp.zeros_like(ga), jnp.exp(1j * gb * h))
-    z = jnp.zeros_like(e)
+def _stack2_identity(like: CZ):
+    z = cz_zeros_like(like)
+    return _Stack2(RD=z, TD=_eye2_like(like), RU=z, TU=_eye2_like(like))
+
+
+def _stack2_phase(ga: CZ, gb: CZ, h):
+    zero = cz_zeros_like(ga)
+    e = _mat2(cz_exp(CZ(-ga.im * h, ga.re * h)), zero,
+              zero, cz_exp(CZ(-gb.im * h, gb.re * h)))      # e^{i gamma h}
+    z = cz_zeros_like(e)
     return _Stack2(RD=z, TD=e, RU=z, TU=e)
 
 
 def _stack2_compose(s1: _Stack2, s2: _Stack2) -> _Stack2:
     """Kennett composition of stack s1 on top of stack s2 (all internal
     multiples of the pair summed by the (I - R R)^{-1} reverberators)."""
-    eye = jnp.zeros_like(s1.RD).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    eye = _eye2_like(s1.RD)
     x = _inv2(eye - s1.RU @ s2.RD)
     y = _inv2(eye - s2.RD @ s1.RU)
     return _Stack2(
@@ -371,14 +546,14 @@ class _StackSH(NamedTuple):
     TU: jax.Array
 
 
-def _stacksh_identity(like):
-    z = jnp.zeros_like(like)
+def _stacksh_identity(like: CZ):
+    z = cz_zeros_like(like)
     return _StackSH(RD=z, TD=z + 1.0, RU=z, TU=z + 1.0)
 
 
-def _stacksh_phase(gb, h):
-    e = jnp.exp(1j * gb * h)
-    z = jnp.zeros_like(e)
+def _stacksh_phase(gb: CZ, h):
+    e = cz_exp(CZ(-gb.im * h, gb.re * h))                   # e^{i gb h}
+    z = cz_zeros_like(e)
     return _StackSH(RD=z, TD=e, RU=z, TU=e)
 
 
@@ -399,7 +574,7 @@ def _interfacesh(mu1, gb1, mu2, gb2):
 
 
 def _where_stack(mask, a, b):
-    return type(a)(*(jnp.where(mask, x, y) for x, y in zip(a, b)))
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(mask, x, y), a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -418,38 +593,46 @@ def _where_stack(mask, a, b):
 # Validated end-to-end against wholespace_seismograms (tests/test_layered).
 
 
-def _psv_sources(k, om_c, ga, gb, chi, a):
-    """dict channel -> (sigma_up (2,), sigma_down (2,)) P-SV amplitudes."""
+def _muli(z: CZ) -> CZ:
+    """i * z."""
+    return CZ(-z.im, z.re)
+
+
+def _psv_sources(k, om_c: CZ, ga: CZ, gb: CZ, chi: CZ, a):
+    """dict channel -> (sigma_up (2, nk), sigma_down (2, nk)) CZ P-SV
+    potential amplitudes."""
     a0, a0z, a1c, a1s, a2c, a2s = a
     w2 = om_c * om_c
-    pm0 = -1j * (k * k * a0 + ga * ga * a0z) / (2.0 * ga * w2)
-    sv0 = 1j * k * (a0z - a0) / (2.0 * w2)
-    p2 = -1j * k * k / (2.0 * ga * w2)
-    sv1 = -1j * chi / (2.0 * gb * w2)
-    sv2 = -1j * k / (2.0 * w2)
-    p1 = 1j * k / w2
+    pm0 = -_muli((k * k * a0 + ga * ga * a0z) / (2.0 * ga * w2))
+    sv0 = _muli((k * (a0z - a0)) / (2.0 * w2))
+    p2 = -_muli((k * k) / (2.0 * ga * w2))
+    sv1 = -_muli(chi / (2.0 * gb * w2))
+    sv2 = -_muli(k / (2.0 * w2))
+    p1 = _muli(k / w2)
     return {
-        "m0": (jnp.stack([pm0, sv0]), jnp.stack([pm0, -sv0])),
-        "m1c": (jnp.stack([p1 * a1c, sv1 * a1c]),
-                jnp.stack([-p1 * a1c, sv1 * a1c])),
-        "m1s": (jnp.stack([p1 * a1s, sv1 * a1s]),
-                jnp.stack([-p1 * a1s, sv1 * a1s])),
-        "m2c": (jnp.stack([p2 * a2c, sv2 * a2c]),
-                jnp.stack([p2 * a2c, -sv2 * a2c])),
-        "m2s": (jnp.stack([p2 * a2s, sv2 * a2s]),
-                jnp.stack([p2 * a2s, -sv2 * a2s])),
+        "m0": (cz_stack([pm0, sv0]), cz_stack([pm0, -sv0])),
+        "m1c": (cz_stack([p1 * a1c, sv1 * a1c]),
+                cz_stack([-p1 * a1c, sv1 * a1c])),
+        "m1s": (cz_stack([p1 * a1s, sv1 * a1s]),
+                cz_stack([-p1 * a1s, sv1 * a1s])),
+        "m2c": (cz_stack([p2 * a2c, sv2 * a2c]),
+                cz_stack([p2 * a2c, -sv2 * a2c])),
+        "m2s": (cz_stack([p2 * a2s, sv2 * a2s]),
+                cz_stack([p2 * a2s, -sv2 * a2s])),
     }
 
 
-def _sh_sources(k, gb, beta, a):
-    """dict channel -> (sigma_up, sigma_down) SH amplitudes (no m0: a
+def _sh_sources(k, gb: CZ, beta, a):
+    """dict channel -> (sigma_up, sigma_down) CZ SH amplitudes (no m0: a
     symmetric moment tensor radiates no axisymmetric SH)."""
     _, _, a1c, a1s, a2c, a2s = a
     b2 = 2.0 * beta * beta
     kk = k / (b2 * gb)
+    const = lambda v: CZ(jnp.broadcast_to(v / b2, gb.re.shape)
+                         * jnp.ones_like(gb.re))
     return {
-        "m1c": (-a1s / b2 + 0j, a1s / b2 + 0j),
-        "m1s": (a1c / b2 + 0j, -a1c / b2 + 0j),
+        "m1c": (const(-a1s), const(a1s)),
+        "m1s": (const(a1c), const(-a1c)),
         "m2c": (kk * a2s, kk * a2s),
         "m2s": (-kk * a2c, -kk * a2c),
     }
@@ -509,22 +692,35 @@ def _layer_tops(model: LayeredModel):
                             jnp.cumsum(model.thickness[:-1])])
 
 
-def _apply2(m, v):
+def _apply2(m: CZ, v: CZ) -> CZ:
     """(nk,2,2) @ (2,nk) -> (2,nk)."""
-    return jnp.einsum("kij,jk->ik", m, v)
+    f = lambda a, b: jnp.einsum("kij,jk->ik", a, b)
+    return CZ(f(m.re, v.re) - f(m.im, v.im), f(m.re, v.im) + f(m.im, v.re))
 
 
-def _surface_response(model: LayeredModel, zs, om_c, k, a,
-                      free_surface=True):
-    """k-domain surface displacements for every azimuthal source channel.
+class _SurfaceOperator(NamedTuple):
+    """Moment-independent pieces of the per-(omega, k) surface response:
+    receiver maps, source-level reverberators, and source-layer material.
+    Linear-in-M responses come from applying this to source vectors."""
 
-    Args: zs source depth (>0, km), om_c one complex frequency, k (nk,)
-    real horizontal wavenumbers, a the six azimuthal moment coefficients
-    (a0, a0z, a1c, a1s, a2c, a2s). Returns dict with
-      'psv': channel -> (2, nk) complex (u_along_khat, u_z_down),
-      'sh':  channel -> (nk,) complex (u along phi_hat of k),
-    common factor -1/(4 pi^2 rho_src) NOT yet applied.
-    """
+    W2: CZ              # (nk,2,2) upgoing-at-source -> surface displacement
+    RA2: CZ             # (nk,2,2) reflection looking up from source level
+    RB2: CZ             # (nk,2,2) reflection looking down from source level
+    inner2: CZ          # (nk,2,2) (I - RA RB)^-1 source-level reverberator
+    Wsh: CZ             # (nk,) SH receiver map
+    RAsh: CZ            # (nk,)
+    RBsh: CZ            # (nk,)
+    innersh: CZ         # (nk,)
+    ga_s: CZ            # (nk,) source-layer vertical wavenumbers
+    gb_s: CZ
+    vs_s: jax.Array     # () source-layer shear speed
+    chi_s: CZ           # (nk,) 2k^2 - om^2/vs_s^2
+
+
+def _surface_operator(model: LayeredModel, zs, om_c, k,
+                      free_surface=True) -> _SurfaceOperator:
+    """Build the moment-independent surface-response operator for one
+    complex frequency over the (nk,) wavenumber grid."""
     nlay = model.nlayers
     tops = _layer_tops(model)
     iface_depth = jnp.cumsum(model.thickness[:-1])        # (nlay-1,)
@@ -583,14 +779,13 @@ def _surface_response(model: LayeredModel, zs, om_c, k, a,
         SBsh = _stacksh_compose(SBsh, ifsh)
 
     Ud0, Uu0, Sd0, Su0 = blocks[0][:4]
-    eye = jnp.zeros_like(eye_like)
-    eye = eye.at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    eye = _eye2_like(eye_like)
     if free_surface:
         RF2 = -_inv2(Sd0) @ Su0                  # traction-free surface
-        RFsh = jnp.ones_like(blocks[0][5])
+        RFsh = CZ(jnp.ones_like(blocks[0][5].re))
     else:
-        RF2 = jnp.zeros_like(eye_like)
-        RFsh = jnp.zeros_like(blocks[0][5])
+        RF2 = cz_zeros_like(eye_like)
+        RFsh = cz_zeros_like(blocks[0][5])
 
     # receiver map W: upgoing at source level -> displacement 2-vector at
     # z=0 (incl. free-surface conversion and A-stack reverberations)
@@ -605,27 +800,50 @@ def _surface_response(model: LayeredModel, zs, om_c, k, a,
 
     # source-layer material (dynamic gather over the layer axis)
     ls = jnp.searchsorted(iface_depth, zs, side="right")
-    ga_l = jnp.stack([b[4] for b in blocks])               # (nlay, nk)
-    gb_l = jnp.stack([b[5] for b in blocks])
-    ga_s = jnp.take(ga_l, ls, axis=0)
-    gb_s = jnp.take(gb_l, ls, axis=0)
+    ga_l = cz_stack([b[4] for b in blocks])                # (nlay, nk)
+    gb_l = cz_stack([b[5] for b in blocks])
+    ga_s = cz_take(ga_l, ls, axis=0)
+    gb_s = cz_take(gb_l, ls, axis=0)
     vs_s = jnp.take(model.vs, ls)
     chi_s = 2.0 * k * k - om_c * om_c / (vs_s * vs_s)
 
-    src2 = _psv_sources(k, om_c, ga_s, gb_s, chi_s, a)
-    srcsh = _sh_sources(k, gb_s, vs_s, a)
-
     inner2 = _inv2(eye - RA2 @ RB2)
+    innersh = 1.0 / (1.0 - RAsh * RBsh)
+    return _SurfaceOperator(W2=W2, RA2=RA2, RB2=RB2, inner2=inner2,
+                            Wsh=Wsh, RAsh=RAsh, RBsh=RBsh, innersh=innersh,
+                            ga_s=ga_s, gb_s=gb_s, vs_s=vs_s, chi_s=chi_s)
+
+
+def _operator_response(op: _SurfaceOperator, k, om_c, a):
+    """Apply the moment coefficients ``a`` to a surface operator: returns
+    {'psv': channel -> (2, nk), 'sh': channel -> (nk,)} displacements,
+    common factor -1/(4 pi^2 rho_src) NOT yet applied."""
+    src2 = _psv_sources(k, om_c, op.ga_s, op.gb_s, op.chi_s, a)
+    srcsh = _sh_sources(k, op.gb_s, op.vs_s, a)
     out = {"psv": {}, "sh": {}}
     for ch, (su, sd) in src2.items():
-        db = _apply2(inner2, sd + _apply2(RA2, su))
-        ua = su + _apply2(RB2, db)
-        out["psv"][ch] = _apply2(W2, ua)
-    innersh = 1.0 / (1.0 - RAsh * RBsh)
+        db = _apply2(op.inner2, sd + _apply2(op.RA2, su))
+        ua = su + _apply2(op.RB2, db)
+        out["psv"][ch] = _apply2(op.W2, ua)
     for ch, (su, sd) in srcsh.items():
-        db = innersh * (sd + RAsh * su)
-        out["sh"][ch] = Wsh * (su + RBsh * db)
+        db = op.innersh * (sd + op.RAsh * su)
+        out["sh"][ch] = op.Wsh * (su + op.RBsh * db)
     return out
+
+
+def _surface_response(model: LayeredModel, zs, om_c, k, a,
+                      free_surface=True):
+    """k-domain surface displacements for every azimuthal source channel.
+
+    Args: zs source depth (>0, km), om_c one complex frequency, k (nk,)
+    real horizontal wavenumbers, a the six azimuthal moment coefficients
+    (a0, a0z, a1c, a1s, a2c, a2s). Returns dict with
+      'psv': channel -> (2, nk) complex (u_along_khat, u_z_down),
+      'sh':  channel -> (nk,) complex (u along phi_hat of k),
+    common factor -1/(4 pi^2 rho_src) NOT yet applied.
+    """
+    op = _surface_operator(model, zs, om_c, k, free_surface=free_surface)
+    return _operator_response(op, k, om_c, a)
 
 
 # ---------------------------------------------------------------------------
@@ -651,9 +869,21 @@ _CHANNELS = (("m0", 0, "cos"), ("m1c", 1, "cos"), ("m1s", 1, "sin"),
              ("m2c", 2, "cos"), ("m2s", 2, "sin"))
 
 
+def _ipow(z: CZ, p: int) -> CZ:
+    """i**p * z."""
+    p = p % 4
+    if p == 0:
+        return z
+    if p == 1:
+        return CZ(-z.im, z.re)
+    if p == 2:
+        return CZ(-z.re, -z.im)
+    return CZ(z.im, -z.re)
+
+
 def _assemble_receivers(resp, k, dk, r, phi, rho_src):
-    """One frequency: channel responses -> (nr, 3) cartesian (x, y, z-down)
-    complex displacements."""
+    """One frequency: channel responses (CZ) -> (nr, 3) cartesian
+    (x, y, z-down) CZ displacements."""
     x = r[:, None] * k[None, :]                       # (nr, nk)
     j = bessel_j0123(x.reshape(-1)).reshape(4, *x.shape)   # J0..J3
     xs = jnp.where(x > 1e-12, x, 1.0)
@@ -661,35 +891,34 @@ def _assemble_receivers(resp, k, dk, r, phi, rho_src):
     jq = {0: jnp.zeros_like(j[0]), 1: j[1] / xs, 2: 2.0 * j[2] / xs}
     w = k * dk                                        # (nk,) midpoint weight
 
-    ur = jnp.zeros(r.shape, j.dtype if jnp.iscomplexobj(j) else
-                   (jnp.complex128 if j.dtype == jnp.float64
-                    else jnp.complex64))
-    uphi = jnp.zeros_like(ur)
-    uz = jnp.zeros_like(ur)
+    def contract(mat, vec: CZ) -> CZ:                 # (nr,nk) x CZ(nk,)
+        return CZ(jnp.einsum("rk,k->r", mat, w * vec.re),
+                  jnp.einsum("rk,k->r", mat, w * vec.im))
+
+    zero = CZ(jnp.zeros_like(r))
+    ur, uphi, uz = zero, zero, zero
     for name, m, typ in _CHANNELS:
-        h, v = resp["psv"][name]                      # (nk,) each
+        hv = resp["psv"][name]                        # CZ (2, nk)
+        h, v = hv[0], hv[1]
         s = resp["sh"].get(name)
         P, Q, Z = jp[m], jq[m], j[m]
-        ip1 = 1j ** (m + 1)
-        im = 1j ** m
-        # (nr, nk) x (nk,) contractions
-        Ph = jnp.einsum("rk,k->r", P, w * h)
-        Zv = jnp.einsum("rk,k->r", Z, w * v)
+        Ph = contract(P, h)
+        Zv = contract(Z, v)
+        Qh = contract(Q, h)
         if s is not None:
-            Qs = jnp.einsum("rk,k->r", Q, w * s)
-            Ps = jnp.einsum("rk,k->r", P, w * s)
+            Qs = contract(Q, s)
+            Ps = contract(P, s)
         else:
-            Qs = Ps = 0.0
-        Qh = jnp.einsum("rk,k->r", Q, w * h)
+            Qs = Ps = zero
         c, sn = jnp.cos(m * phi), jnp.sin(m * phi)
         if typ == "cos":
-            ur = ur + ip1 * (-Ph * c - Qs * sn)
-            uphi = uphi + ip1 * (Qh * sn - Ps * c)
-            uz = uz + im * Zv * c
+            ur = ur + _ipow(-Ph * c - Qs * sn, m + 1)
+            uphi = uphi + _ipow(Qh * sn - Ps * c, m + 1)
+            uz = uz + _ipow(Zv * c, m)
         else:
-            ur = ur + ip1 * (-Ph * sn + Qs * c)
-            uphi = uphi + ip1 * (-Qh * c - Ps * sn)
-            uz = uz + im * Zv * sn
+            ur = ur + _ipow(-Ph * sn + Qs * c, m + 1)
+            uphi = uphi + _ipow(-Qh * c - Ps * sn, m + 1)
+            uz = uz + _ipow(Zv * sn, m)
     # Sign pinned numerically by the whole-space oracle (every channel,
     # component, and azimuth agrees with wholespace_seismograms at the
     # quadrature tolerance with +; all flip together with -).
@@ -697,7 +926,8 @@ def _assemble_receivers(resp, k, dk, r, phi, rho_src):
     ur, uphi, uz = pref * ur, pref * uphi, pref * uz
     ux = ur * jnp.cos(phi) - uphi * jnp.sin(phi)
     uy = ur * jnp.sin(phi) + uphi * jnp.cos(phi)
-    return jnp.stack([ux, uy, uz], axis=-1)           # (nr, 3) z-down
+    return CZ(jnp.stack([ux.re, uy.re, uz.re], axis=-1),
+              jnp.stack([ux.im, uy.im, uz.im], axis=-1))   # (nr, 3) z-down
 
 
 def _stf_cutoff(stf, om_max: float) -> float:
@@ -725,19 +955,39 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
 
     ``free_surface=False`` buries the receivers in an unbounded medium
     above — the mode the whole-space parity tests use.
+
+    Precision: the per-(omega, k) stack algebra runs on float64 (re, im)
+    pairs (:class:`CZ`) regardless of the input dtype — the P-SV up/down
+    eigenbasis degenerates as omega -> 0 (the P and SV columns become
+    parallel, the same degeneracy that motivates pyprop8's minor-vector
+    formulation), which float64 absorbs (relative determinants ~omega^2
+    stay far above 1e-16) but float32 turns into NaN. The pair form runs
+    on TPU, whose runtime supports f64 but rejects complex128. The Bessel
+    assembly and FFT synthesis then run in the working dtype, so float32
+    inputs get a float32 assembly and a complex64 FFT. Requires
+    jax_enable_x64.
     """
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "layered_seismograms requires jax.config.update('jax_enable_x64',"
+            " True): the interface R/T solve degenerates at low frequency "
+            "and must run in float64 (see docstring)")
     if model is None:
         model = fukuoka_model()
     dtype = jnp.asarray(x).dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    model64 = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float64), model)
+    z64 = jnp.asarray(z, jnp.float64)
     om, nfft = _synthesis_grid(nt, dt, pad=pad, dtype=dtype)
     dom = 2.0 * math.pi / (nfft * dt)           # static python float
     om_nyq = dom * (nfft // 2)
     n_act = min(om.shape[0], int(_stf_cutoff(stf, om_nyq) / dom) + 2)
-    om_act = om[:n_act]
-    om_c_act = om_act + 1j * alpha_damp
+    om_re_act = jnp.arange(n_act, dtype=jnp.float64) * dom
 
     dk = kmax / nk
     k = (jnp.arange(nk, dtype=dtype) + 0.5) * dk       # midpoint rule
+    k64 = k.astype(jnp.float64)
 
     # azimuthal moment coefficients in the internal z-down frame
     flip = jnp.array([[1.0, 1.0, -1.0],
@@ -757,17 +1007,27 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
                        jnp.searchsorted(jnp.cumsum(model.thickness[:-1]),
                                         z, side="right"))
 
-    def one_freq(om_c):
-        resp = _surface_response(model, z, om_c, k, a,
+    a64 = tuple(jnp.asarray(ai, jnp.float64) for ai in a)
+
+    def one_freq(om_re):
+        om_c = CZ(om_re, jnp.asarray(alpha_damp, jnp.float64))
+        resp = _surface_response(model64, z64, om_c, k64, a64,
                                  free_surface=free_surface)
+        # CZ leaves are real arrays: this casts f64 pairs down to the
+        # working precision for the Bessel assembly
+        resp = jax.tree_util.tree_map(lambda v: v.astype(dtype), resp)
         return _assemble_receivers(resp, k, dk, r, phi, rho_src)
 
-    spec_act = jax.vmap(one_freq)(om_c_act)            # (n_act, nr, 3)
+    spec_cz = jax.vmap(one_freq)(om_re_act)            # CZ (n_act, nr, 3)
+    spec_act = spec_cz.to_complex(cdtype)
     nf = om.shape[0]
-    spec = jnp.zeros((nf,) + spec_act.shape[1:], spec_act.dtype)
+    spec = jnp.zeros((nf,) + spec_act.shape[1:], cdtype)
     spec = spec.at[:n_act].set(spec_act)
-    s = stf_spectrum(om, om + 1j * alpha_damp, stf, dtype)
-    s = s * jnp.exp(1j * (om + 1j * alpha_damp) * (-t0))
+    # working-precision complex frequency for STF/shift (complex128 does
+    # not exist on the TPU runtime; c64 is fine here)
+    om_cw = om + jnp.asarray(1j * alpha_damp, cdtype)
+    s = stf_spectrum(om, om_cw, stf, dtype)
+    s = s * jnp.exp(1j * om_cw * (-t0))
     U = jnp.moveaxis(spec, 0, -1) * s                  # (nr, 3, nf)
     u = _synthesize(U, nt, dt, alpha_damp, nfft)
     u = u.at[:, 2, :].multiply(-1.0)                   # z-down -> up
