@@ -29,15 +29,17 @@ def main(plot: bool = False) -> None:
         wasserstein_linprog, wasserstein_numint,
     )
 
-    fx = jnp.array([0.12, 0.25, 0.4, 0.55, 0.7, 0.88])
-    f = jnp.array([0.2, 0.1, 0.25, 0.15, 0.2, 0.1])
-    gx = jnp.array([0.1, 0.3, 0.45, 0.6, 0.75, 0.9])
-    g = jnp.array([0.15, 0.2, 0.1, 0.3, 0.05, 0.2])
+    # the exact Fig-5 configuration (Point_mass_demo_Fig_5.ipynb cells
+    # 3-13): expected W1 = 4.11, W2^2 = 18.09
+    fx = jnp.linspace(3.0, 14.0, 6)
+    gx = jnp.linspace(7.0, 18.0, 6)
+    f = jnp.array([0.2, 0.01, 0.18, 0.21, 0.2, 0.2])
+    g = jnp.array([0.18, 0.07, 0.2, 0.05, 0.27, 0.23])
 
     w1 = float(wasserstein_1d(f, fx, g, gx, 1))
     w2 = float(wasserstein_1d(f, fx, g, gx, 2))
-    print(f"W1          = {w1:.10f}")
-    print(f"W2^2        = {w2:.10f}")
+    print(f"W1          = {w1:.10f}   (Fig 5: 4.11)")
+    print(f"W2^2        = {w2:.10f}   (Fig 5: 18.09)")
 
     w1n, w2n = wasserstein_numint(np.array(f), np.array(fx),
                                   np.array(g), np.array(gx))

@@ -56,6 +56,18 @@ class TestGoldenValues:
         assert abs(float(jnp.sum(dxf1)) - gd["dW1t"]) <= 1e-12
         assert abs(float(jnp.sum(dxf2)) - gd["dW2t"]) <= 1e-12
 
+    def test_fig5_configuration(self, golden):
+        """The exact Fig-5 point masses (Point_mass_demo_Fig_5.ipynb cells
+        3-13): W1 = 4.11, W2^2 = 18.09 — the one notebook whose output is
+        a number, pinned here."""
+        gd = golden["pointmass_fig5"]
+        fx = jnp.linspace(3.0, 14.0, 6)
+        gx = jnp.linspace(7.0, 18.0, 6)
+        f = jnp.array([0.2, 0.01, 0.18, 0.21, 0.2, 0.2])
+        g = jnp.array([0.18, 0.07, 0.2, 0.05, 0.27, 0.23])
+        assert abs(float(wasserstein_1d(f, fx, g, gx, 1)) - gd["W1"]) <= 1e-12
+        assert abs(float(wasserstein_1d(f, fx, g, gx, 2)) - gd["W2"]) <= 1e-12
+
 
 class TestGradients:
     @pytest.mark.parametrize("p", [1, 2])

@@ -334,6 +334,61 @@ class waveformFP:
         tt, uu = np.meshgrid(np.asarray(tg), np.asarray(ug))
         self.pos = np.dstack([tt, uu])
         self.dcalc = True
+        if deriv:
+            self.wdistderiv()
+
+    def wdistderiv(self):
+        """Analytic d(distance)/d(waveform amplitude) at every grid point
+        (reference wdistderiv, FingerprintLib.py:333-385) — stored as
+        ``self.dddy`` (Ngrid, 2) for the segment's (lower, upper) endpoint,
+        via the envelope-form module :func:`wavederiv`."""
+        if not self.dcalc:
+            raise errors.WaveformFPderivError()
+        pts = _grid_points_n(self)
+        self.dddy = wavederiv(self.dfield, self.irays, self.xrays,
+                              self.lrays, pts, self)
+        self.drcalc = True
+        return self.dddy
+
+    def _endpoint_scatter(self, pdfrow):
+        """Sum dddy-weighted grid contributions into the nt waveform
+        samples (the reference's per-sample masked loops,
+        FingerprintLib.py:196-202, as two bincounts)."""
+        ir = np.asarray(self.irays).ravel()
+        s = np.bincount(ir, weights=self.dddy[:, 0] * pdfrow,
+                        minlength=self.nt)[:self.nt]
+        s = s + np.bincount(ir + 1, weights=self.dddy[:, 1] * pdfrow,
+                            minlength=self.nt + 1)[:self.nt]
+        return s
+
+    def PDFderiv(self, chainmatrix=None):
+        """d(density)/d(amplitudes), optionally chained with a cotangent
+        field (reference PDFderiv, FingerprintLib.py:182-203). Stores and
+        returns ``self.pdfd`` (nt,)."""
+        if not self.drcalc:
+            raise errors.WaveformFPderivError()
+        pdfrow = self.pdf.ravel()
+        if isinstance(chainmatrix, np.ndarray):
+            pdfrow = pdfrow * chainmatrix.ravel()
+        if self.q == 2:
+            pdfrow = 2.0 * pdfrow * np.abs(self.dfield.ravel())
+        self.pdfd = -self._endpoint_scatter(pdfrow) / self.lam
+        return self.pdfd
+
+    def PDFderivMarg(self, chainmatrix):
+        """Marginal variant (reference PDFderivMarg,
+        FingerprintLib.py:205-228): chains both marginal cotangent fields
+        at once; stores/returns ``self.pdfdMarg`` [(nt,), (nt,)]."""
+        if not self.drcalc:
+            raise errors.WaveformFPderivError()
+        rows = []
+        for cm in (chainmatrix[0], chainmatrix[1]):
+            pdfrow = self.pdf.ravel() * np.asarray(cm).ravel()
+            if self.q == 2:
+                pdfrow = 2.0 * pdfrow * np.abs(self.dfield.ravel())
+            rows.append(-self._endpoint_scatter(pdfrow) / self.lam)
+        self.pdfdMarg = rows
+        return self.pdfdMarg
 
     def _store_field(self, fld):
         self._fld = fld  # full DistanceField (viz.plot_rays consumes it)

@@ -184,6 +184,29 @@ def plot_misfit_trace(misfits, second=None, log: bool = True,
     return fig
 
 
+def plot_misfit_profiles(x, profiles, labels, xlab="time shift",
+                         normalize: bool = True, title=None, filename=None):
+    """Overlaid 1-D misfit profiles (the W1/W2-vs-L2 time-shift comparison
+    of reference Ricker_Figs_1_7 / paper Fig 1). ``profiles`` is a list of
+    same-length arrays; each is optionally normalized to [0, 1] so shapes
+    (convexity, secondary minima) compare directly."""
+    plt = _plt()
+    fig = plt.figure(figsize=(7, 4.5))
+    for prof, lab in zip(profiles, labels):
+        v = np.asarray(prof, float)
+        if normalize:
+            v = (v - v.min()) / max(v.max() - v.min(), 1e-30)
+        plt.plot(np.asarray(x), v, label=lab)
+    plt.xlabel(xlab)
+    plt.ylabel("misfit" + (" (normalized)" if normalize else ""))
+    plt.legend()
+    if title:
+        plt.title(title)
+    if filename:
+        fig.savefig(filename)
+    return fig
+
+
 def plot_seismograms(seis, t, overlays=(), filename=None, title=None):
     """(nr, 3, nt) seismogram grid (reference plotseis,
     loc_cmt_util.py:64-110)."""
