@@ -186,6 +186,50 @@ def bench_multi_start(impl: str, n_iter: int):
     return per_study, starts.shape[0]
 
 
+def bench_layered(impl: str, n_iter: int):
+    """The Figs 9-11 physics on device: W2 misfit + gradient through the
+    six-layer Fukuoka f-k propagator (models/layered.py — the pyprop8
+    replacement), 11 stations x 3 comps. No reference baseline exists for
+    this row: pyprop8 is uninstallable here (vs_baseline: null)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveform_ot_tpu.inversion import (
+        InvOptions, TraceConfig, build_loc_cmt_problem,
+        loc_cmt_value_and_grad,
+    )
+    from waveform_ot_tpu.models import (
+        StationSet, fukuoka_model, make_layered_forward,
+        moment_tensor_from_sdr,
+    )
+
+    nt, nr = 61, 11
+    ang = np.linspace(0, 2 * np.pi, nr, endpoint=False)
+    stations = StationSet(x=jnp.asarray(60.0 * np.cos(ang), jnp.float32),
+                          y=jnp.asarray(60.0 * np.sin(ang), jnp.float32))
+    mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6).astype(
+        jnp.float32)
+    forward = make_layered_forward(stations, model=fukuoka_model(), nt=nt,
+                                   dt=1.0, nk=512, kmax=2.0)
+    loc = jnp.asarray([2.0, -1.5, 12.0], jnp.float32)
+    s = forward(*loc, mxyz)
+    rng = np.random.default_rng(0)
+    obs = s + 0.002 * float(jnp.max(jnp.abs(s))) * jnp.asarray(
+        rng.standard_normal(s.shape), jnp.float32)
+    t = jnp.arange(nt, dtype=jnp.float32)
+    cfg = TraceConfig(nu=79, ntg=nt, lambdav=0.04, q=None, p=2)
+    prob = build_loc_cmt_problem(t, obs, stations, cfg, mxyz_fixed=mxyz,
+                                 impl=impl)
+    opts = InvOptions(loc=True, cmt=False, mistype="OT")
+    m = loc + jnp.asarray([4.0, -3.0, 2.0], jnp.float32)
+    fn = jax.jit(lambda mm, pp: loc_cmt_value_and_grad(
+        mm, pp, opts, cfg, forward=forward, impl=impl))
+    per_call = _time(fn, (m, prob), n_iter)
+    v, g = fn(m, prob)
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+    return per_call
+
+
 def bench_big_fingerprint(n_iter: int):
     """The FingerprintLib __main__ demo at full scale: 626-sample waveform,
     800x600 grid, lambda=0.04 — fingerprint density incl. the derivative
@@ -282,6 +326,12 @@ def run_stage(name: str) -> dict:
         return {"per": per, "n_starts": n_starts}
     if name == "bigfp":
         return {"per": bench_big_fingerprint(n_bigfp)}
+    if name == "layered":
+        # the f-k stack algebra needs f64 (models/layered.py docstring);
+        # enable x64 here, before any array work — this stage runs in its
+        # own subprocess so the f32 stages are not contaminated
+        jax.config.update("jax_enable_x64", True)
+        return {"per": bench_layered(impl, n_scan if on_tpu else 1)}
     if name == "f32dev":
         dv, dg = f32_deviation(impl)
         return {"dv": dv, "dg": dg}
@@ -314,6 +364,7 @@ def main() -> None:
     ms = _run_stage_subprocess("multistart")
     per_study, n_starts = ms["per"], ms["n_starts"]
     per_bigfp = _run_stage_subprocess("bigfp")["per"]
+    per_layered = _run_stage_subprocess("layered")["per"]
     dev = _run_stage_subprocess("f32dev")
     dv, dg = dev["dv"], dev["dg"]
     _stage("done")
@@ -344,6 +395,9 @@ def main() -> None:
         {"metric": "fingerprint density 800x600 grid, 625 segments (w/ deriv precompute)",
          "value": round(per_bigfp * 1e3, 4), "unit": "ms",
          "vs_baseline": round(ref_bigfp / per_bigfp, 2)},
+        {"metric": "layered-physics W2 misfit+grad (6-layer Fukuoka f-k), 11 stations x 3 comps",
+         "value": round(per_layered * 1e3, 2), "unit": "ms",
+         "vs_baseline": None},
         {"metric": "f32 vs f64 relative deviation (value)",
          "value": float(f"{dv:.3e}"), "unit": "rel", "vs_baseline": None},
         {"metric": "f32 vs f64 relative deviation (grad, max)",

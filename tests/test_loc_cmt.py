@@ -270,6 +270,52 @@ class TestJointLocCMT:
             np.asarray(m_true[3:])).max()
         assert rel.max() < 0.05
 
+    def test_joint_ot_gradient_fd(self, setup):
+        # cmt=True with the OT misfit: the moment-tensor gradient through
+        # fingerprint -> marginal -> OT (the reference's flagship W2-based
+        # CMT mode, loc_cmt_util.py:186-306), FD-checked in the
+        # preconditioned 9-dim space so every component is O(1)
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        m9 = jnp.concatenate([loc, upper_from_mxyz(mxyz)])
+        mscal = jnp.concatenate(
+            [jnp.ones(3), jnp.full(6, float(jnp.abs(m9[3:]).max()))])
+        prob2 = prob._replace(mscal=mscal)
+        opts = InvOptions(loc=True, cmt=True, mistype="OT", precon=True)
+        m = (m9 + jnp.concatenate(
+            [jnp.array([4.0, -3.0, 2.0]), 0.25 * jnp.abs(m9[3:])])) / mscal
+        fn = jax.jit(lambda mm: loc_cmt_misfit(mm, prob2, opts, cfg,
+                                               impl="jnp"))
+        v, g = loc_cmt_value_and_grad(m, prob2, opts, cfg, impl="jnp")
+        assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+        eps = 1e-5
+        gmax = float(jnp.abs(g).max())
+        for i in range(9):
+            fd = (fn(m.at[i].add(eps)) - fn(m.at[i].add(-eps))) / (2 * eps)
+            assert abs(float(g[i]) - float(fd)) < 1e-5 * max(gmax,
+                                                             abs(float(fd)))
+
+    def test_joint_ot_inversion_recovers_location_and_tensor(self, setup):
+        # the Fig-12 cmt mode end-to-end with the W2 misfit: CMT block
+        # initialized by Moment_LS at the perturbed start (Fig_12 cell 43)
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        m_true = jnp.concatenate([loc, upper_from_mxyz(mxyz)])
+        mscal = jnp.concatenate(
+            [jnp.ones(3), jnp.full(6, float(jnp.abs(m_true[3:]).max()))])
+        prob2 = prob._replace(mscal=mscal)
+        opts = InvOptions(loc=True, cmt=True, mistype="OT", precon=True)
+        loc0 = loc + jnp.array([5.0, -4.0, 3.0])
+        m0 = jnp.concatenate(
+            [loc0, moment_tensor_ls(loc0, stations, seis_obs)]) / mscal
+        res = minimize_scipy(
+            lambda m: loc_cmt_value_and_grad(m, prob2, opts, cfg,
+                                             impl="jnp"), m0,
+            options={"maxiter": 300})
+        sol = res.x * np.asarray(mscal)
+        assert np.linalg.norm(sol[:3] - np.asarray(loc)) < 1.0
+        rel = np.abs(sol[3:] - np.asarray(m_true[3:])) / np.abs(
+            np.asarray(m_true[3:])).max()
+        assert rel.max() < 0.05
+
     def test_cmt_only_mode(self, setup):
         # invopt: loc=False, cmt=True — location fixed at mref
         stations, loc, mxyz, seis_obs, cfg, prob = setup
