@@ -156,9 +156,9 @@ def bench_grid_scan(impl: str, n_iter: int):
 
 def bench_multi_start(impl: str, n_iter: int):
     """The Fig_12 repeat-convergence study: 64 independent source-location
-    inversions from random starts, run as ONE vmapped on-device L-BFGS
-    (reference: 64 serial scipy L-BFGS-B inversions). Asserts every start
-    recovers the true location."""
+    inversions from random starts, run as ONE batched on-device L-BFGS
+    with masked early exit (reference: 64 serial scipy L-BFGS-B
+    inversions). Asserts every start recovers the true location."""
     import jax
     import jax.numpy as jnp
 

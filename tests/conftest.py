@@ -25,6 +25,14 @@ import jax  # noqa: E402
 # the config API as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache (keyed by HLO hash; shared with bench.py): the
+# heavy CPU-x64 compiles — layered f-k jacobians, the OT pipeline grad —
+# are paid once, not per pytest run
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wot_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 import json  # noqa: E402
 

@@ -163,6 +163,28 @@ class TestInversion:
         assert np.linalg.norm(np.asarray(dev.x) - sp.x) < 0.5
         assert np.linalg.norm(np.asarray(dev.x) - np.asarray(loc)) < 0.5
 
+    def test_batched_lbfgs_matches_zoom(self, setup):
+        # the production masked-early-exit solver reaches the same basins
+        # as the vmapped optax zoom path
+        stations, loc, mxyz, seis_obs, cfg, prob = setup
+        opts = InvOptions(loc=True, cmt=False, mistype="L2")
+        prob2 = prob._replace(mxyz_fixed=mxyz)
+        starts = loc[None, :] + jnp.array([[5.0, 4.0, -3.0],
+                                           [-6.0, 2.0, 5.0],
+                                           [3.0, -8.0, 2.0],
+                                           [0.5, 9.0, -4.0]])
+        fn = lambda m: loc_cmt_misfit(m, prob2, opts, cfg)
+        rb = jax.jit(lambda xs: minimize_multi_start(
+            fn, xs, max_iter=150, tol=1e-7, method="batched"))(starts)
+        rz = jax.jit(lambda xs: minimize_multi_start(
+            fn, xs, max_iter=150, tol=1e-7, method="zoom"))(starts)
+        assert np.linalg.norm(np.asarray(rb.x) - np.asarray(rz.x),
+                              axis=1).max() < 0.5
+        assert np.linalg.norm(np.asarray(rb.x) - np.asarray(loc),
+                              axis=1).max() < 0.5
+        # early exit bookkeeping: every lane reports its own iterations
+        assert rb.n_iter.shape == (4,)
+
     def test_multi_start_vmapped(self, setup):
         stations, loc, mxyz, seis_obs, cfg, prob = setup
         opts = InvOptions(loc=True, cmt=False, mistype="L2")

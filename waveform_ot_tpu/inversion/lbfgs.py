@@ -62,12 +62,175 @@ def minimize_lbfgs(fun: Callable, x0, max_iter: int = 200, tol: float = 1e-8,
 
 
 def minimize_multi_start(fun: Callable, x0s, max_iter: int = 200,
-                         tol: float = 1e-8) -> LBFGSResult:
-    """vmapped multi-start minimization: x0s is (k, nm); every field of the
-    result carries the leading k axis. One device launch replaces the
-    reference's serial 64-start repeat study (Fig_12 cells 46-47)."""
+                         tol: float = 1e-8,
+                         method: str = "batched") -> LBFGSResult:
+    """Multi-start minimization: x0s is (k, nm); every field of the result
+    carries the leading k axis. One device launch replaces the reference's
+    serial 64-start repeat study (Fig_12 cells 46-47).
+
+    method='batched' (default): :func:`minimize_lbfgs_batched` — masked
+    early exit + value-only interpolation backtracking; 2.0x faster than
+    the vmapped-zoom path on the 64-start bench (946 ms vs 1869 ms,
+    BASELINE.md) with the same basins reached.
+    method='zoom': vmap of :func:`minimize_lbfgs` (optax zoom linesearch),
+    kept as the strong-Wolfe cross-check.
+    """
+    if method == "batched":
+        return minimize_lbfgs_batched(fun, x0s, max_iter=max_iter, tol=tol)
     return jax.vmap(lambda x0: minimize_lbfgs(fun, x0, max_iter=max_iter,
                                               tol=tol))(x0s)
+
+
+class _BatchLBFGSState(NamedTuple):
+    x: jax.Array        # (k, n)
+    f: jax.Array        # (k,)
+    g: jax.Array        # (k, n)
+    S: jax.Array        # (m, k, n) step history (newest last)
+    Y: jax.Array        # (m, k, n) gradient-difference history
+    rho: jax.Array      # (m, k)    1/(s.y); 0 marks an empty slot
+    gamma: jax.Array    # (k,)      initial-Hessian scale
+    it: jax.Array       # ()
+    n_iter: jax.Array   # (k,)      iterations taken per lane
+    active: jax.Array   # (k,) bool
+    n_ls: jax.Array     # ()        total linesearch trial rounds (stats)
+
+
+def _two_loop(g, S, Y, rho, gamma):
+    """Vectorized-over-lanes L-BFGS two-loop recursion (static unroll over
+    the small memory axis; empty slots have rho=0 and are no-ops)."""
+    m = S.shape[0]
+    q = g
+    alphas = []
+    for i in range(m - 1, -1, -1):
+        a = rho[i] * jnp.sum(S[i] * q, axis=-1)           # (k,)
+        q = q - a[:, None] * Y[i]
+        alphas.append(a)
+    r = gamma[:, None] * q
+    for i in range(m):
+        b = rho[i] * jnp.sum(Y[i] * r, axis=-1)
+        r = r + (alphas[m - 1 - i] - b)[:, None] * S[i]
+    return -r
+
+
+def minimize_lbfgs_batched(fun: Callable, x0s, max_iter: int = 200,
+                           tol: float = 1e-8, memory_size: int = 10,
+                           ls_max: int = 20, c1: float = 1e-4) -> LBFGSResult:
+    """Batched multi-start L-BFGS with MASKED EARLY EXIT — the production
+    form of :func:`minimize_multi_start`.
+
+    ``vmap(while_loop)`` (the optax path) runs every lane until the LAST
+    lane's zoom linesearch finishes: each outer iteration costs the max
+    zoom depth over all lanes in value+grad evaluations (profiled: ~10
+    evals/iteration, 89% of the study wall-clock inside the linesearch
+    loop — BASELINE.md). Here ONE while_loop owns the batched state:
+
+      * linesearch trials are VALUE-ONLY batched calls (~2/3 the cost of
+        the zoom's value+grad trials), with quadratic-interpolation
+        backtracking (the next trial step minimizes the 1-D quadratic
+        through f(0), f'(0), f(alpha)) so lanes typically accept in 1-2
+        trials;
+      * a lane that accepts drops out of the trial mask immediately, a
+        converged lane freezes entirely, and the outer loop ends when all
+        lanes are done;
+      * gradients are computed once per iteration, at accepted points.
+
+    ``fun`` maps (n,) -> scalar; ``x0s`` is (k, n). Curvature-unsafe pairs
+    (s.y <= 0, possible without a Wolfe condition) are skipped rather
+    than stored, preserving positive-definiteness of the implicit Hessian.
+    """
+    x0s = jnp.asarray(x0s)
+    k, n = x0s.shape
+    m = memory_size
+    fbatch = jax.vmap(fun)
+    vgbatch = jax.vmap(jax.value_and_grad(fun))
+
+    f0, g0 = vgbatch(x0s)
+    gn0 = jnp.linalg.norm(g0, axis=-1)
+    st = _BatchLBFGSState(
+        x=x0s, f=f0, g=g0,
+        S=jnp.zeros((m, k, n), x0s.dtype),
+        Y=jnp.zeros((m, k, n), x0s.dtype),
+        rho=jnp.zeros((m, k), x0s.dtype),
+        gamma=1.0 / jnp.maximum(gn0, 1.0),
+        it=jnp.asarray(0), n_iter=jnp.zeros((k,), jnp.int32),
+        active=gn0 >= tol, n_ls=jnp.asarray(0))
+
+    def body(st: _BatchLBFGSState) -> _BatchLBFGSState:
+        d = _two_loop(st.g, st.S, st.Y, st.rho, st.gamma)
+        gd = jnp.sum(st.g * d, axis=-1)
+        # fall back to steepest descent if the direction is not a descent
+        bad = gd >= 0.0
+        d = jnp.where(bad[:, None], -st.g, d)
+        gd = jnp.where(bad, -jnp.sum(st.g * st.g, axis=-1), gd)
+
+        # backtracking with quadratic interpolation; lanes leave the trial
+        # mask on acceptance
+        def ls_cond(c):
+            alpha, f_last, accepted, f_new, trials = c
+            return jnp.any(st.active & ~accepted) & (trials < ls_max)
+
+        def ls_body(c):
+            alpha, f_last, accepted, f_new, trials = c
+            # next trial: minimizer of the quadratic through f(0)=f,
+            # f'(0)=gd, f(alpha)=f_last, clipped to a sane backtrack range
+            denom = f_last - st.f - gd * alpha
+            a_interp = -0.5 * gd * alpha * alpha / jnp.where(
+                denom > 0, denom, 1.0)
+            a_next = jnp.where(denom > 0,
+                               jnp.clip(a_interp, 0.1 * alpha, 0.7 * alpha),
+                               0.5 * alpha)
+            a_try = jnp.where(trials == 0, alpha,
+                              jnp.where(accepted, alpha, a_next))
+            f_try = fbatch(st.x + a_try[:, None] * d)
+            ok = f_try <= st.f + c1 * a_try * gd
+            take = st.active & ~accepted & ok
+            return (jnp.where(accepted, alpha, a_try),
+                    jnp.where(accepted, f_last, f_try),
+                    accepted | take | ~st.active,
+                    jnp.where(take, f_try, f_new),
+                    trials + 1)
+
+        alpha0 = jnp.ones((k,), x0s.dtype)
+        accepted0 = ~st.active
+        alpha, _, accepted, f_new, trials = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (alpha0, st.f, accepted0, st.f, jnp.asarray(0)))
+        moved = st.active & accepted & (f_new < st.f)
+
+        x_new = jnp.where(moved[:, None], st.x + alpha[:, None] * d, st.x)
+        f_acc, g_new = vgbatch(x_new)
+        f_acc = jnp.where(moved, f_acc, st.f)
+        g_new = jnp.where(moved[:, None], g_new, st.g)
+
+        s = x_new - st.x
+        y = g_new - st.g
+        sy = jnp.sum(s * y, axis=-1)
+        yy = jnp.sum(y * y, axis=-1)
+        good = moved & (sy > 1e-12 * jnp.sqrt(
+            jnp.sum(s * s, axis=-1) * yy))
+        S2 = jnp.concatenate([st.S[1:], s[None]], axis=0)
+        Y2 = jnp.concatenate([st.Y[1:], y[None]], axis=0)
+        rho2 = jnp.concatenate(
+            [st.rho[1:], jnp.where(good, 1.0 / jnp.where(good, sy, 1.0),
+                                   0.0)[None]], axis=0)
+        # lanes with a rejected pair keep their old memory entirely
+        S2 = jnp.where(good[None, :, None], S2, st.S)
+        Y2 = jnp.where(good[None, :, None], Y2, st.Y)
+        rho2 = jnp.where(good[None, :], rho2, st.rho)
+        gamma2 = jnp.where(good, sy / jnp.maximum(yy, 1e-30), st.gamma)
+
+        gn = jnp.linalg.norm(g_new, axis=-1)
+        still = st.active & moved & (gn >= tol)
+        return _BatchLBFGSState(
+            x=x_new, f=f_acc, g=g_new, S=S2, Y=Y2, rho=rho2, gamma=gamma2,
+            it=st.it + 1, n_iter=st.n_iter + st.active.astype(jnp.int32),
+            active=still, n_ls=st.n_ls + trials)
+
+    st = jax.lax.while_loop(
+        lambda s: jnp.any(s.active) & (s.it < max_iter), body, st)
+    return LBFGSResult(x=st.x, fun=st.f,
+                       grad_norm=jnp.linalg.norm(st.g, axis=-1),
+                       n_iter=st.n_iter)
 
 
 def minimize_scipy(value_and_grad_fn: Callable, x0, method: str = "L-BFGS-B",
