@@ -5,7 +5,19 @@ The reference runs 64 separate scipy inversions in a Python loop; here all
 starts run as ONE vmapped on-device LBFGS — the whole Fig-12 experiment is
 a single jitted call per misfit type.
 
+Modes (mirroring Fig_12 cells 34-47):
+  * location-only (default): 3-dim (x, y, z) starts on a grid;
+  * ``--cmt``: the notebook's joint loc+CMT mode — 9-dim parameter space,
+    each start's moment-tensor block initialized by the linear Moment_LS
+    solve at that start (cell 43), constant preconditioning
+    (precontype='constant': mscal = [60 km x3, Mo x6]).
+
+Physics: the on-device layered-medium f-k forward (models/layered.py) on
+the reference's six-layer Fukuoka crustal model by default, or the fast
+homogeneous far-field synthetic with ``--physics farfield``.
+
 Run: python examples/multi_start_basins.py [--nstarts 16] [--nr 8]
+         [--cmt] [--physics layered|farfield]
 """
 
 import argparse
@@ -21,14 +33,21 @@ import jax
 import jax.numpy as jnp
 
 
-def main(nstarts: int = 16, nr: int = 8) -> None:
+def main(nstarts: int = 16, nr: int = 8, cmt: bool = False,
+         physics: str = "layered", nk: int = 256) -> None:
     from waveform_ot_tpu.inversion import (
         InvOptions, TraceConfig, build_loc_cmt_problem, check_convergence,
         loc_cmt_misfit, minimize_multi_start,
     )
     from waveform_ot_tpu.models import (
-        StationSet, moment_tensor_from_sdr, synthetic_seismograms,
+        StationSet, fukuoka_model, make_layered_forward, moment_tensor_ls,
+        moment_tensor_from_sdr, synthetic_seismograms, upper_from_mxyz,
     )
+
+    # x64 before ANY array creation (mixed-precision pytrees break the
+    # solver's while_loop carries): the layered f-k solve requires it
+    if physics == "layered" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
 
     nt = 61
     ang = np.linspace(0, 2 * np.pi, nr, endpoint=False)
@@ -36,7 +55,16 @@ def main(nstarts: int = 16, nr: int = 8) -> None:
                           y=jnp.array(60.0 * np.sin(ang)))
     loc_true = jnp.array([2.0, -1.5, 12.0])
     mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6)
-    t, s = synthetic_seismograms(*loc_true, mxyz, stations, nt=nt, dt=1.0)
+
+    if physics == "layered":
+        forward = make_layered_forward(stations, model=fukuoka_model(),
+                                       nt=nt, dt=1.0, nk=nk)
+        t = jnp.arange(nt, dtype=jnp.float64)
+        s = forward(*loc_true, mxyz)
+    else:
+        forward = None
+        t, s = synthetic_seismograms(*loc_true, mxyz, stations, nt=nt,
+                                     dt=1.0)
     rng = np.random.default_rng(3)
     obs = s + 0.005 * float(jnp.max(jnp.abs(s))) * jnp.array(
         rng.standard_normal(s.shape))
@@ -45,29 +73,76 @@ def main(nstarts: int = 16, nr: int = 8) -> None:
     prob = build_loc_cmt_problem(t, obs, stations, cfg, mxyz_fixed=mxyz)
 
     k = int(np.sqrt(nstarts))
-    gx, gy = np.meshgrid(np.linspace(-50, 50, k), np.linspace(-50, 50, k))
+    # the 9-dim joint mode starts nearer the source: with the homogeneous
+    # far-field physics the joint OT/L2 landscapes carry local minima
+    # beyond ~20 km (verified with scipy too — a landscape property, not a
+    # solver one), unlike the reference's layered Fukuoka setup whose OT
+    # basin spans its (-40,-40,40) start (Fig_12 cell 42)
+    span = 12.0 if cmt else 50.0
+    gx, gy = np.meshgrid(np.linspace(-span, span, k),
+                         np.linspace(-span, span, k))
     starts = jnp.array(np.stack([gx.ravel() + float(loc_true[0]),
                                  gy.ravel() + float(loc_true[1]),
                                  np.full(k * k, 10.0)], axis=1))
 
+    if cmt:
+        # per-start CMT block from the linear LS solve at that start
+        # (Fig_12 cell 43: mstart = append(mstart, Moment_LS(mstart, ...)))
+        from waveform_ot_tpu.models import mxyz_from_upper
+
+        def ls_at(l):
+            fwd = None if forward is None else (
+                lambda m6: forward(l[0], l[1], l[2], mxyz_from_upper(m6)))
+            return moment_tensor_ls(l, stations, obs, nt=nt, dt=1.0,
+                                    forward=fwd)
+
+        m6s = jax.vmap(ls_at)(starts)
+        starts9 = jnp.concatenate([starts, m6s], axis=1)
+        mscal = jnp.concatenate(
+            [jnp.full(3, 60.0),
+             jnp.full(6, float(jnp.abs(upper_from_mxyz(mxyz)).max()))])
+        prob = prob._replace(mscal=mscal.astype(starts.dtype))
+        starts = starts9 / mscal
+        m_true_full = np.concatenate([np.asarray(loc_true),
+                                      np.asarray(upper_from_mxyz(mxyz))])
+    else:
+        mscal = jnp.ones(3)
+        m_true_full = np.asarray(loc_true)
+
+    max_iter = 600 if cmt else 150   # the 9-dim OT surface is
+    # ill-conditioned in the tensor block; scipy needs ~300 evals too
     for mistype in ("OT", "L2"):
-        opts = InvOptions(loc=True, cmt=False, mistype=mistype)
-        fn = lambda m: loc_cmt_misfit(m, prob, opts, cfg)
-        run = jax.jit(lambda xs: minimize_multi_start(fn, xs, max_iter=150))
+        opts = InvOptions(loc=True, cmt=cmt, mistype=mistype, precon=cmt)
+        fn = lambda m: loc_cmt_misfit(m, prob, opts, cfg, forward=forward)
+        run = jax.jit(lambda xs: minimize_multi_start(fn, xs,
+                                                      max_iter=max_iter))
         t0 = time.perf_counter()
         res = run(starts)
         jax.block_until_ready(res.x)
         dt = time.perf_counter() - t0
+        sol = np.asarray(res.x) * np.asarray(mscal)
+        st = np.asarray(starts) * np.asarray(mscal)
         conv, dist, cons, frac = check_convergence(
-            np.asarray(starts), np.asarray(res.x), np.asarray(loc_true),
+            st[:, :3], sol[:, :3], np.asarray(loc_true),
             dlimit=2.0, exclude_edge=None)
-        print(f"{mistype}: {k*k} starts in {dt:.2f} s -> "
-              f"{100*frac:.0f}% converged (median |err| = "
-              f"{np.median(dist):.2f} km)")
+        line = (f"{mistype}: {k*k} starts in {dt:.2f} s -> "
+                f"{100*frac:.0f}% converged (median loc |err| = "
+                f"{np.median(dist):.2f} km")
+        if cmt:
+            mrel = (np.abs(sol[:, 3:] - m_true_full[3:])
+                    / np.abs(m_true_full[3:]).max()).max(axis=1)
+            line += f", median CMT rel err = {np.median(mrel):.3f}"
+        print(line + ")")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--nstarts", type=int, default=16)
     ap.add_argument("--nr", type=int, default=8)
+    ap.add_argument("--cmt", action="store_true",
+                    help="joint 9-dim loc+CMT mode (Fig_12 cmt=True)")
+    ap.add_argument("--physics", choices=("layered", "farfield"),
+                    default="layered")
+    ap.add_argument("--nk", type=int, default=256,
+                    help="wavenumber samples for the layered forward")
     main(**vars(ap.parse_args()))

@@ -18,7 +18,7 @@ from waveform_ot_tpu.inversion.loc_cmt import (  # noqa: F401
 )
 from waveform_ot_tpu.inversion.lbfgs import (  # noqa: F401
     LBFGSResult, minimize_lbfgs, minimize_lbfgs_batched,
-    minimize_multi_start, minimize_scipy,
+    minimize_multi_start, minimize_multi_start_sharded, minimize_scipy,
 )
 from waveform_ot_tpu.inversion.trace import InversionTrace  # noqa: F401
 from waveform_ot_tpu.inversion.l2 import ls_misfit, window_union  # noqa: F401
