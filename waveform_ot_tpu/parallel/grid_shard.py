@@ -38,6 +38,52 @@ from waveform_ot_tpu.ops.fingerprint import (
 from waveform_ot_tpu.ops.otpdf import Density1D
 from waveform_ot_tpu.ops.wasser import wasserstein_1d
 
+# Varying -> Invariant gather: lets shard_map's static replication checker
+# (check_vma=True) prove the misfit outputs are replicated, instead of the
+# tests merely asserting it. Public as jax.lax.all_gather_invariant in
+# newer JAX; fall back to the internal binding, then to plain all_gather
+# (+ check_vma=False) if neither exists.
+try:
+    from jax.lax import all_gather_invariant as _all_gather_inv
+    _CHECK_VMA = True
+except ImportError:
+    try:
+        from jax._src.lax.parallel import (
+            all_gather_invariant as _all_gather_inv,
+        )
+        _CHECK_VMA = True
+    except ImportError:  # pragma: no cover - old JAX
+        _all_gather_inv = None
+        _CHECK_VMA = False
+
+
+def _gather_tiled(x, axis_name):
+    """all_gather(tiled) whose output the vma checker knows is replicated.
+
+    The invariant form also transposes to a dynamic-slice (each device takes
+    its own block of the replicated cotangent) rather than a reduce_scatter —
+    the exact backward communication pattern the module docstring promises.
+    """
+    if _all_gather_inv is not None:
+        return _all_gather_inv(x, axis_name, tiled=True)
+    return jax.lax.all_gather(x, axis_name, tiled=True)
+
+
+def _to_varying(x, axis_name):
+    """Invariant -> Varying cast ahead of the fingerprint custom VJP.
+
+    The envelope-form distance-field VJP computes varying cotangents for
+    its replicated primals (verts, ugrid); the vma checker cannot insert
+    the restoring psum through a custom_vjp, so we cast the primals to
+    varying up front — the cast's transpose IS that psum, which the checker
+    can see produces an invariant cotangent. Value/grad are unchanged
+    (verified ulp-exact vs the unsharded oracle in test_parallel)."""
+    if not _CHECK_VMA:
+        return x
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, axis_name)
+
 
 def shard_grid_axis(tgrid, mesh: Mesh, axis_name: str | None = None):
     """Place the (ntg,) grid time axis sharded over the mesh (columns of
@@ -53,11 +99,12 @@ def _block_marg_misfit(verts, tgrid_blk, ugrid, target_t, target_u, tshift,
     column-block distance field + density, marginals assembled over
     ``seq_axis`` (all_gather / psum), 1-D Wasserstein on the replicated
     marginals. Used by both the sp-only and the dp x sp entry points."""
-    d = distance_field_diff(verts, tgrid_blk, ugrid, impl)  # (nu, blk)
+    d = distance_field_diff(_to_varying(verts, seq_axis), tgrid_blk,
+                            _to_varying(ugrid, seq_axis), impl)  # (nu, blk)
     u2d = density_from_distance(d, lambdav, q=q)
-    f_t = jax.lax.all_gather(jnp.sum(u2d, axis=0), seq_axis, tiled=True)
+    f_t = _gather_tiled(jnp.sum(u2d, axis=0), seq_axis)
     f_u = jax.lax.psum(jnp.sum(u2d, axis=1), seq_axis)
-    tfull = jax.lax.all_gather(tgrid_blk, seq_axis, tiled=True)
+    tfull = _gather_tiled(tgrid_blk, seq_axis)
     wt = wasserstein_1d(f_t, tfull + tshift, target_t.pdf, target_t.x, p)
     wu = wasserstein_1d(f_u, ugrid, target_u.pdf, target_u.x, p)
     return wt, wu
@@ -100,11 +147,12 @@ def grid_sharded_marg_misfit(mesh: Mesh, *, lambdav: float,
         mesh=mesh,
         in_specs=(P(), P(an), P(), dens_spec, dens_spec, P()),
         out_specs=(P(), P()),
-        # wt/wu are replicated by construction (computed from
-        # all_gathered/psummed marginals), but the static
-        # varying-manual-axes check cannot see through the custom-VJP
-        # 1-D solver; replication is asserted by the parity tests.
-        check_vma=False,
+        # wt/wu replication is statically PROVEN when all_gather_invariant
+        # is available: the invariant gather + psum make every 1-D solver
+        # input invariant, and _to_varying lets the transpose psum the
+        # fingerprint-VJP cotangents back to invariant. On older JAX the
+        # plain-gather fallback needs the check off.
+        check_vma=_CHECK_VMA,
     )
 
 
@@ -172,9 +220,9 @@ def dp_sp_marg_misfit(mesh: Mesh, *, lambdav: float, q: int | None = None,
         in_specs=(P(batch_axis), P(seq_axis), P(), dens_b, dens_b,
                   P(batch_axis)),
         out_specs=P(),
-        # replicated-by-construction outputs; the vma check cannot see
-        # through the custom-VJP 1-D solver (same note as above)
-        check_vma=False,
+        # same note as grid_sharded_marg_misfit: statically checked when
+        # the invariant gather exists, asserted by tests otherwise
+        check_vma=_CHECK_VMA,
     )
 
 
