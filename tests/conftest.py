@@ -66,6 +66,33 @@ def reference_libs():
             "ricker_util": ricker_util}
 
 
+@pytest.fixture(scope="session")
+def reference_loc_cmt(reference_libs):
+    """The reference loc_cmt_util module, imported with pyprop8 stubbed.
+
+    pyprop8 is not installable in this sandbox (no network); loc_cmt_util
+    imports it at module level but many of its functions are pure numpy, so
+    a fake module in sys.modules lets the real reference code be tested.
+    """
+    import types
+
+    if "pyprop8" not in sys.modules:
+        pp = types.ModuleType("pyprop8")
+        utils = types.ModuleType("pyprop8.utils")
+        for name in ("rtf2xyz", "make_moment_tensor", "stf_trapezoidal",
+                     "clp_filter"):
+            setattr(utils, name, None)
+        pp.utils = utils
+        sys.modules["pyprop8"] = pp
+        sys.modules["pyprop8.utils"] = utils
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SyntaxWarning)
+        from libs import loc_cmt_util
+    return loc_cmt_util
+
+
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)

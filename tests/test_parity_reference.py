@@ -334,34 +334,6 @@ class TestLocPipelineParity:
                 assert abs(float(dgM[0]) - dgr[0]) <= 1e-9
 
 
-@pytest.fixture(scope="session")
-def reference_loc_cmt(reference_libs):
-    """The reference loc_cmt_util module, imported with pyprop8 stubbed.
-
-    pyprop8 is not installable in this sandbox (no network); loc_cmt_util
-    imports it at module level but drv_rpd2xyz itself is pure numpy, so a
-    fake module in sys.modules lets the real reference function be tested.
-    """
-    import sys
-    import types
-
-    if "pyprop8" not in sys.modules:
-        pp = types.ModuleType("pyprop8")
-        utils = types.ModuleType("pyprop8.utils")
-        for name in ("rtf2xyz", "make_moment_tensor", "stf_trapezoidal",
-                     "clp_filter"):
-            setattr(utils, name, None)
-        pp.utils = utils
-        sys.modules["pyprop8"] = pp
-        sys.modules["pyprop8.utils"] = utils
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", SyntaxWarning)
-        from libs import loc_cmt_util
-    return loc_cmt_util
-
-
 class TestDrvRpd2xyzParity:
     """Live parity of the pyprop8 Jacobian reorder/rotation chain
     (_drv_to_cartesian) vs the reference drv_rpd2xyz
