@@ -212,7 +212,9 @@ def bench_layered(impl: str, n_iter: int):
     forward = make_layered_forward(stations, model=fukuoka_model(), nt=nt,
                                    dt=1.0, nk=512, kmax=2.0)
     loc = jnp.asarray([2.0, -1.5, 12.0], jnp.float32)
-    s = forward(*loc, mxyz)
+    # jit the data-generation forward too: op-by-op dispatch of the f-k
+    # synthesis hits unimplemented eager kernels on the axon TPU runtime
+    s = jax.jit(forward)(*loc, mxyz)
     rng = np.random.default_rng(0)
     obs = s + 0.002 * float(jnp.max(jnp.abs(s))) * jnp.asarray(
         rng.standard_normal(s.shape), jnp.float32)

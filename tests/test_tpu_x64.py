@@ -240,6 +240,65 @@ def test_pallas_distance_on_tpu_matches_jnp():
     assert res["max_dgrad_rel"] <= 1e-5, res
 
 
+_LAYERED = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+{platform_setup}
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wot_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+import numpy as np
+import jax.numpy as jnp
+from waveform_ot_tpu.models.layered import (
+    layered_model_from_table, layered_seismograms)
+from waveform_ot_tpu.models.seismo import StationSet, mxyz_from_upper
+
+# f32 inputs: the f-k stack algebra still runs on f64 (re, im) pairs
+# internally, but the spectra/FFT stay complex64 — the only complex dtype
+# this TPU runtime accepts (f64 inputs would need complex128)
+model = layered_model_from_table([(3.0, 5.0, 2.9, 2.5),
+                                  (0.0, 7.0, 4.0, 3.0)])
+stations = StationSet(x=jnp.asarray([12.0, -7.0], jnp.float32),
+                      y=jnp.asarray([5.0, 16.0], jnp.float32))
+wts = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 16)),
+                  jnp.float32)
+
+def obj(params):
+    _, s = layered_seismograms(params[0], params[1], params[2],
+                               mxyz_from_upper(params[3:]), stations,
+                               model=model, nt=16, dt=1.0, nk=48, kmax=1.0)
+    return jnp.sum(s * wts), s
+
+params = jnp.asarray(np.concatenate([[2.0, -3.0, 4.0],
+                                     [0.3, -0.5, 0.2, 0.7, -0.1, 0.4]]),
+                     jnp.float32)
+(v, s), g = jax.jit(jax.value_and_grad(obj, has_aux=True))(params)
+print(json.dumps({{"backend": jax.default_backend(), "v": float(v),
+                   "g": [float(x) for x in g],
+                   "snorm": float(jnp.linalg.norm(s))}}))
+"""
+
+
+@pytest.mark.tpu_x64
+def test_layered_forward_on_tpu_matches_cpu():
+    """The layered f-k forward + gradient ON THE REAL CHIP vs the identical
+    f32-input program on CPU. Guards the TPU-executability of the
+    pyprop8-replacement physics (models/layered.py) — the c128-free
+    synthesis path and the f64 pair algebra must both lower for TPU."""
+    tpu, cpu = _spot_check(_LAYERED)
+    assert np.isfinite(tpu["v"]) and np.all(np.isfinite(tpu["g"]))
+    scale = max(abs(cpu["v"]), 1e-12)
+    assert abs(tpu["v"] - cpu["v"]) <= 1e-4 * scale, (tpu, cpu)
+    gref = np.asarray(cpu["g"])
+    gdev = np.abs(np.asarray(tpu["g"]) - gref).max()
+    assert gdev <= 1e-3 * max(np.abs(gref).max(), 1e-12), (tpu, cpu)
+    assert abs(tpu["snorm"] - cpu["snorm"]) <= 1e-4 * max(cpu["snorm"], 1e-12)
+
+
 _TPU_MESH_SMOKE = r"""
 import json, sys
 sys.path.insert(0, {repo!r})

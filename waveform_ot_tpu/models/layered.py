@@ -205,7 +205,12 @@ class CZ:
         return CZ(self.re.astype(rdtype), self.im.astype(rdtype))
 
     def to_complex(self, cdtype):
-        return self.re.astype(cdtype) + 1j * self.im.astype(cdtype)
+        # lax.complex, not `re + 1j*im`: a Python 1j literal materializes a
+        # weak-complex128 scalar constant under x64, which the TPU runtime
+        # rejects at compile even when the result dtype is complex64
+        fdtype = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
+        return jax.lax.complex(self.re.astype(fdtype),
+                               self.im.astype(fdtype))
 
 
 jax.tree_util.register_pytree_node(
@@ -384,7 +389,8 @@ def stf_spectrum(om_real, om_c, stf, dtype=jnp.float64):
     if kind == "clp_step":
         f1, f2 = stf[1], stf[2]
         band = clp_filter(om_real, 2.0 * jnp.pi * f1, 2.0 * jnp.pi * f2)
-        return band * (1j / om_c)
+        # strong-typed i (see CZ.to_complex: a bare 1j breaks TPU x64)
+        return band * (jnp.asarray(1j, om_c.dtype) / om_c)
     raise ValueError(f"unknown stf kind: {kind!r}")
 
 
@@ -1027,7 +1033,7 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
     # not exist on the TPU runtime; c64 is fine here)
     om_cw = om + jnp.asarray(1j * alpha_damp, cdtype)
     s = stf_spectrum(om, om_cw, stf, dtype)
-    s = s * jnp.exp(1j * om_cw * (-t0))
+    s = s * jnp.exp(jnp.asarray(1j, cdtype) * om_cw * (-t0))
     U = jnp.moveaxis(spec, 0, -1) * s                  # (nr, 3, nf)
     u = _synthesize(U, nt, dt, alpha_damp, nfft)
     u = u.at[:, 2, :].multiply(-1.0)                   # z-down -> up

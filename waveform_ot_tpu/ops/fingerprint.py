@@ -268,7 +268,14 @@ def distance_field(verts, tgrid, ugrid, impl: str = "auto",
              jnp oracle remains competitive whenever its temporary fits.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if jax.default_backend() == "tpu":
+            # under jax_enable_x64, Mosaic cannot lower ANY kernel on this
+            # runtime (int64 index converts recurse; even a trivial kernel
+            # fails to legalize) — use the chunked-XLA impl, which measures
+            # equal to the Pallas kernel (see the chunk note below)
+            impl = "xla" if jax.config.jax_enable_x64 else "pallas"
+        else:
+            impl = "jnp"
     if impl == "jnp":
         return _distance_field_jnp(verts, tgrid, ugrid)
     if impl == "xla":

@@ -109,16 +109,19 @@ def _kernel(scal_ref, segs_ref, dout_ref, iout_ref, lout_ref, vxout_ref,
                 jnp.zeros((1, tpts), ftype),
                 jnp.zeros((1, tpts), ftype),
                 jnp.zeros((1, tpts), ftype))
-        rmin, ridx, rlam, rvx, rvy = jax.lax.fori_loop(0, n_chunks, chunk,
-                                                       init)
+        rmin, ridx, rlam, rvx, rvy = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_chunks), chunk, init)
         dout_ref[pl.ds(r, 1), :] = jnp.sqrt(jnp.maximum(rmin, 0.0))
         iout_ref[pl.ds(r, 1), :] = ridx
         lout_ref[pl.ds(r, 1), :] = rlam
         vxout_ref[pl.ds(r, 1), :] = rvx
         vyout_ref[pl.ds(r, 1), :] = rvy
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, rows, row_body, 0)
+    # int32 loop bounds: under jax_enable_x64 a Python-int fori_loop index
+    # is int64, and the int64->float convert it feeds recurses forever in
+    # the Mosaic convert_element_type lowering (x64 TPU sessions hit this)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(rows), row_body, jnp.int32(0))
 
 
 def _pack_segments(verts, s_pad):
