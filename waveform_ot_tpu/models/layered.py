@@ -38,8 +38,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from waveform_ot_tpu.models.seismo import StationSet
+from waveform_ot_tpu.ops import ddfloat as _ddf
 
 # ---------------------------------------------------------------------------
 # Bessel functions J0..J4 (real argument), accurate to ~1e-11 over the k*r
@@ -117,28 +119,113 @@ def _bessel_j0123_jvp(primals, tangents):
 
 
 # ---------------------------------------------------------------------------
-# split-complex arithmetic (CZ): explicit (re, im) float64 pairs
+# split-complex arithmetic (CZ): explicit (re, im) pairs over a generic
+# real component type — plain jnp arrays (f32/f64) or double-float32 DD
+# pairs (ops/ddfloat.py)
 # ---------------------------------------------------------------------------
 #
-# The axon TPU runtime supports float64 but NOT complex128 ("Element type
-# C128 is not supported on TPU"), while the interface R/T solve needs true
-# f64 (the P-SV eigenbasis degenerates as omega -> 0 and float32 turns the
-# cancellation into NaN). The response stage therefore runs its complex
-# algebra on explicit real pairs — semantically identical to complex128,
-# executable on any backend with f64, and autodiff flows through plain
-# real ops (no complex-AD edge cases).
+# The axon TPU runtime supports no complex128 ("Element type C128 is not
+# supported on TPU") and its float64 is an XLA software emulation that is
+# both ~1000x the f32 op cost and (measured, bisected on hardware)
+# MISCOMPILES this module's fused batched stack algebra to NaN at
+# production configs — while the identical program is correct on CPU.
+# The interface R/T solve genuinely needs ~2x-f32 precision at low
+# frequency (the P-SV eigenbasis degenerates as omega -> 0; float32
+# turns the cancellation into NaN below |omega| ~ 0.1). So the complex
+# algebra runs on explicit real pairs whose REAL type is pluggable:
+#
+#   * float64 arrays   — the CPU parity/oracle path (float64 inputs);
+#   * float32 arrays   — the cheap high-frequency band;
+#   * ddfloat.DD       — double-float32: ~49-bit precision from plain f32
+#                        ops, the TPU production path for the low band
+#                        (no f64 in the HLO at all — fast compiles, no
+#                        emulation bugs, identical path CPU/TPU).
+#
+# Autodiff flows through plain real ops in every mode (no complex-AD
+# edge cases). The _c_* helpers below dispatch component ops between
+# jnp arrays and DD.
+
+_DD = _ddf.DD
+
+
+def _is_dd(x):
+    return isinstance(x, _DD)
+
+
+def _c_zeros_like(x):
+    return _ddf.zeros_like(x) if _is_dd(x) else jnp.zeros_like(x)
+
+
+def _c_zero_of(o):
+    """A zero shaped/typed like an arbitrary mixed operand."""
+    if _is_dd(o):
+        return _ddf.zeros_like(o)
+    return jnp.zeros_like(jnp.asarray(o))
+
+
+def _c_stack(xs, axis=0):
+    if any(_is_dd(x) for x in xs):
+        return _ddf.stack([x if _is_dd(x) else _ddf.from_float(x)
+                           for x in xs], axis)
+    return jnp.stack(xs, axis)
+
+
+def _c_where(mask, a, b):
+    if _is_dd(a) or _is_dd(b):
+        return _ddf.where(mask, a, b)
+    return jnp.where(mask, a, b)
+
+
+def _c_take(x, idx, axis=0):
+    return (_ddf.take(x, idx, axis=axis) if _is_dd(x)
+            else jnp.take(x, idx, axis=axis))
+
+
+def _c_abs(x):
+    return _ddf.dd_abs(x) if _is_dd(x) else jnp.abs(x)
+
+
+def _c_transpose(x, axes):
+    if _is_dd(x):
+        return _DD(jnp.transpose(x.hi, axes), jnp.transpose(x.lo, axes))
+    return jnp.transpose(x, axes)
+
+
+def _c_sqrt(x):
+    return _ddf.sqrt(x) if _is_dd(x) else jnp.sqrt(x)
+
+
+def _c_hypot(a, b):
+    return _ddf.hypot(a, b) if _is_dd(a) else jnp.hypot(a, b)
+
+
+def _c_matmul(a, b):
+    """Batched (..., 2, 2) matmul of real components. DD has no MXU path
+    (nor does it want one at 2x2): ONE broadcast dd-mul + ONE dd-add —
+    HLO op count must stay O(1) per matmul, not O(elements), or the
+    compiled program (and XLA compile time) blows up ~10x (measured)."""
+    if _is_dd(a) or _is_dd(b):
+        t = a[..., :, :, None] * b[..., None, :, :]    # (..., 2, 2, 2)
+        return t[..., :, 0, :] + t[..., :, 1, :]
+    # precision=HIGHEST: the TPU default lowers f32 matmuls to bf16
+    # passes (~3 digits), and the near-degenerate 2x2 stack algebra
+    # needs ~5 — bf16 turns the f32 path's cancellations into NaN on
+    # TPU while the identical program is finite on CPU (measured).
+    # These are tiny batched 2x2 contractions; HIGHEST costs nothing.
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 class CZ:
-    """Complex array as an explicit (re, im) pair. Supports +, -, *, /,
-    unary -, @ (batched 2x2 matmul), and indexing; mixed operands may be
-    real arrays/scalars. Registered as a pytree."""
+    """Complex array as an explicit (re, im) pair of a generic real type
+    (jnp array or ddfloat.DD). Supports +, -, *, /, unary -, @ (batched
+    2x2 matmul), and indexing; mixed operands may be real arrays/scalars/
+    DD. Registered as a pytree."""
 
     __slots__ = ("re", "im")
 
     def __init__(self, re, im=None):
         self.re = re
-        self.im = jnp.zeros_like(re) if im is None else im
+        self.im = _c_zeros_like(re) if im is None else im
 
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
@@ -154,17 +241,17 @@ class CZ:
     def __add__(self, o):
         if isinstance(o, CZ):
             return CZ(self.re + o.re, self.im + o.im)
-        return CZ(self.re + o, self.im + jnp.zeros_like(jnp.asarray(o)))
+        return CZ(self.re + o, self.im + _c_zero_of(o))
 
     __radd__ = __add__
 
     def __sub__(self, o):
         if isinstance(o, CZ):
             return CZ(self.re - o.re, self.im - o.im)
-        return CZ(self.re - o, self.im + jnp.zeros_like(jnp.asarray(o)))
+        return CZ(self.re - o, self.im + _c_zero_of(o))
 
     def __rsub__(self, o):
-        return CZ(o - self.re, jnp.zeros_like(jnp.asarray(o)) - self.im)
+        return CZ(o - self.re, _c_zero_of(o) - self.im)
 
     def __mul__(self, o):
         if isinstance(o, CZ):
@@ -190,12 +277,12 @@ class CZ:
 
     def __matmul__(self, o):
         if isinstance(o, CZ):
-            return CZ(self.re @ o.re - self.im @ o.im,
-                      self.re @ o.im + self.im @ o.re)
-        return CZ(self.re @ o, self.im @ o)
+            return CZ(_c_matmul(self.re, o.re) - _c_matmul(self.im, o.im),
+                      _c_matmul(self.re, o.im) + _c_matmul(self.im, o.re))
+        return CZ(_c_matmul(self.re, o), _c_matmul(self.im, o))
 
     def __rmatmul__(self, o):
-        return CZ(o @ self.re, o @ self.im)
+        return CZ(_c_matmul(o, self.re), _c_matmul(o, self.im))
 
     def __getitem__(self, idx):
         return CZ(self.re[idx], self.im[idx])
@@ -218,29 +305,34 @@ jax.tree_util.register_pytree_node(
 
 
 def cz_imag(v):
-    """i * v for a real array/scalar v."""
-    v = jnp.asarray(v)
-    return CZ(jnp.zeros_like(v), v)
+    """i * v for a real array/scalar/DD v."""
+    if not _is_dd(v):
+        v = jnp.asarray(v)
+    return CZ(_c_zeros_like(v), v)
 
 
 def cz_stack(zs, axis=0):
-    return CZ(jnp.stack([z.re for z in zs], axis),
-              jnp.stack([z.im for z in zs], axis))
+    return CZ(_c_stack([z.re for z in zs], axis),
+              _c_stack([z.im for z in zs], axis))
 
 
 def cz_zeros_like(z: CZ):
-    return CZ(jnp.zeros_like(z.re), jnp.zeros_like(z.im))
+    return CZ(_c_zeros_like(z.re), _c_zeros_like(z.im))
 
 
 def cz_where(mask, a: CZ, b: CZ):
-    return CZ(jnp.where(mask, a.re, b.re), jnp.where(mask, a.im, b.im))
+    return CZ(_c_where(mask, a.re, b.re), _c_where(mask, a.im, b.im))
 
 
 def cz_take(z: CZ, idx, axis=0):
-    return CZ(jnp.take(z.re, idx, axis=axis), jnp.take(z.im, idx, axis=axis))
+    return CZ(_c_take(z.re, idx, axis=axis), _c_take(z.im, idx, axis=axis))
 
 
 def cz_exp(z: CZ):
+    if _is_dd(z.re):
+        e = _ddf.exp(z.re)
+        s, c = _ddf.sincos(z.im)
+        return CZ(e * c, e * s)
     e = jnp.exp(z.re)
     return CZ(e * jnp.cos(z.im), e * jnp.sin(z.im))
 
@@ -249,15 +341,18 @@ def cz_exp(z: CZ):
 def _csqrt_pair(re, im):
     """Principal sqrt of re + i*im with the im = +0 side of the branch cut
     (sqrt(-x) = +i sqrt(x)) — the Im(gamma) >= 0 convention the decaying
-    layer phases need. Stable two-branch form (no cancellation for re<0)."""
-    r = jnp.hypot(re, im)
-    t = jnp.sqrt(0.5 * (r + jnp.abs(re)))
-    t_safe = jnp.where(t == 0.0, 1.0, t)
+    layer phases need. Stable two-branch form (no cancellation for re<0).
+    Components may be jnp arrays or DD (the masks are plain booleans
+    either way)."""
+    r = _c_hypot(re, im)
+    t = _c_sqrt(0.5 * (r + _c_abs(re)))
+    t_safe = _c_where(t == 0.0, 1.0, t)
     sgn = jnp.where(im >= 0.0, 1.0, -1.0)
     re_pos = (t, 0.5 * im / t_safe)
-    re_neg = (0.5 * jnp.abs(im) / t_safe, sgn * t)
-    return (jnp.where(re >= 0.0, re_pos[0], re_neg[0]),
-            jnp.where(re >= 0.0, re_pos[1], re_neg[1]))
+    re_neg = (0.5 * _c_abs(im) / t_safe, sgn * t)
+    ge0 = re >= 0.0
+    return (_c_where(ge0, re_pos[0], re_neg[0]),
+            _c_where(ge0, re_pos[1], re_neg[1]))
 
 
 @_csqrt_pair.defjvp
@@ -448,20 +543,28 @@ def _wholespace_spectrum_one(xrel, om_c, vp, vs, rho, m_int):
 # lack and the reason the recursion form is used).
 
 
+def _c_broadcast_like(v, ref):
+    """Broadcast a scalar/array/DD to the shape (and kind) of ``ref``."""
+    if _is_dd(ref):
+        d = v if _is_dd(v) else _ddf.from_float(
+            jnp.asarray(v, ref.dtype), ref.dtype)
+        return _ddf.broadcast_to(d, ref.shape)
+    return jnp.broadcast_to(jnp.asarray(v), ref.shape) * jnp.ones_like(ref)
+
+
 def _promote_cz(v, like: CZ) -> CZ:
     if isinstance(v, CZ):
         return v
-    return CZ(jnp.broadcast_to(jnp.asarray(v), like.re.shape) *
-              jnp.ones_like(like.re))
+    return CZ(_c_broadcast_like(v, like.re))
 
 
 def _mat2(a, b, c, d):
     """Stack four CZ (or real) scalars into a CZ of shape (..., 2, 2)."""
     ref = next(v for v in (a, b, c, d) if isinstance(v, CZ))
     a, b, c, d = (_promote_cz(v, ref) for v in (a, b, c, d))
-    st = lambda u, v: jnp.stack([u, v], -1)
-    return CZ(jnp.stack([st(a.re, b.re), st(c.re, d.re)], -2),
-              jnp.stack([st(a.im, b.im), st(c.im, d.im)], -2))
+    st = lambda u, v: _c_stack([u, v], -1)
+    return CZ(_c_stack([st(a.re, b.re), st(c.re, d.re)], -2),
+              _c_stack([st(a.im, b.im), st(c.im, d.im)], -2))
 
 
 def _inv2(m: CZ) -> CZ:
@@ -500,7 +603,10 @@ class _Stack2(NamedTuple):
 
 
 def _eye2_like(m: CZ) -> CZ:
-    eye = jnp.zeros_like(m.re).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    hi = m.re.hi if _is_dd(m.re) else m.re
+    eye = jnp.zeros_like(hi).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    if _is_dd(m.re):
+        return CZ(_DD(eye, jnp.zeros_like(eye)), _ddf.zeros_like(m.re))
     return CZ(eye, jnp.zeros_like(m.re))
 
 
@@ -509,25 +615,34 @@ def _stack2_identity(like: CZ):
     return _Stack2(RD=z, TD=_eye2_like(like), RU=z, TU=_eye2_like(like))
 
 
-def _stack2_phase(ga: CZ, gb: CZ, h):
-    zero = cz_zeros_like(ga)
-    e = _mat2(cz_exp(CZ(-ga.im * h, ga.re * h)), zero,
-              zero, cz_exp(CZ(-gb.im * h, gb.re * h)))      # e^{i gamma h}
-    z = cz_zeros_like(e)
-    return _Stack2(RD=z, TD=e, RU=z, TU=e)
-
-
 def _stack2_compose(s1: _Stack2, s2: _Stack2) -> _Stack2:
     """Kennett composition of stack s1 on top of stack s2 (all internal
     multiples of the pair summed by the (I - R R)^{-1} reverberators)."""
     eye = _eye2_like(s1.RD)
     x = _inv2(eye - s1.RU @ s2.RD)
-    y = _inv2(eye - s2.RD @ s1.RU)
+    # push-through identity: (I - R2 R1)^{-1} = I + R2 (I - R1 R2)^{-1} R1
+    # — one 2x2 solve per composition, not two (dd divisions are ~5x the
+    # cost of dd multiplies, and this body is inside the layer scans)
+    y = eye + s2.RD @ x @ s1.RU
     return _Stack2(
         RD=s1.RD + s1.TU @ s2.RD @ x @ s1.TD,
         TD=s2.TD @ x @ s1.TD,
         RU=s2.RU + s2.TD @ s1.RU @ y @ s2.TU,
         TU=s1.TU @ y @ s2.TU)
+
+
+def _stack2_compose_phase(s: _Stack2, ga: CZ, gb: CZ, h) -> _Stack2:
+    """compose(s, phase-layer): a phase layer's two-port has R = 0 and
+    diagonal T = diag(e_a, e_b), so the general composition's reverberator
+    solves collapse to the identity and the whole update is four diagonal
+    scalings — same values as composing with the explicit phase stack, at
+    ~1/50 the op count."""
+    ea = cz_exp(CZ(-ga.im * h, ga.re * h))                # e^{i ga h}
+    eb = cz_exp(CZ(-gb.im * h, gb.re * h))
+    e = CZ(_c_stack([ea.re, eb.re], -1), _c_stack([ea.im, eb.im], -1))
+    row = lambda m: m * e[..., :, None]                   # diag(e) @ m
+    col = lambda m: m * e[..., None, :]                   # m @ diag(e)
+    return _Stack2(RD=s.RD, TD=row(s.TD), RU=row(col(s.RU)), TU=col(s.TU))
 
 
 def _interface2(blk1, blk2):
@@ -557,18 +672,18 @@ def _stacksh_identity(like: CZ):
     return _StackSH(RD=z, TD=z + 1.0, RU=z, TU=z + 1.0)
 
 
-def _stacksh_phase(gb: CZ, h):
-    e = cz_exp(CZ(-gb.im * h, gb.re * h))                   # e^{i gb h}
-    z = cz_zeros_like(e)
-    return _StackSH(RD=z, TD=e, RU=z, TU=e)
-
-
 def _stacksh_compose(s1: _StackSH, s2: _StackSH) -> _StackSH:
     x = 1.0 / (1.0 - s1.RU * s2.RD)
     return _StackSH(RD=s1.RD + s1.TU * s2.RD * x * s1.TD,
                     TD=s2.TD * x * s1.TD,
                     RU=s2.RU + s2.TD * s1.RU * x * s2.TU,
                     TU=s1.TU * x * s2.TU)
+
+
+def _stacksh_compose_phase(s: _StackSH, gb: CZ, h) -> _StackSH:
+    """compose(s, SH phase-layer) — see _stack2_compose_phase."""
+    e = cz_exp(CZ(-gb.im * h, gb.re * h))                 # e^{i gb h}
+    return _StackSH(RD=s.RD, TD=e * s.TD, RU=e * s.RU * e, TU=s.TU * e)
 
 
 def _interfacesh(mu1, gb1, mu2, gb2):
@@ -634,8 +749,7 @@ def _sh_sources(k, gb: CZ, beta, a):
     _, _, a1c, a1s, a2c, a2s = a
     b2 = 2.0 * beta * beta
     kk = k / (b2 * gb)
-    const = lambda v: CZ(jnp.broadcast_to(v / b2, gb.re.shape)
-                         * jnp.ones_like(gb.re))
+    const = lambda v: CZ(_c_broadcast_like(v / b2, gb.re))
     return {
         "m1c": (const(-a1s), const(a1s)),
         "m1s": (const(a1c), const(-a1c)),
@@ -700,7 +814,13 @@ def _layer_tops(model: LayeredModel):
 
 def _apply2(m: CZ, v: CZ) -> CZ:
     """(nk,2,2) @ (2,nk) -> (2,nk)."""
-    f = lambda a, b: jnp.einsum("kij,jk->ik", a, b)
+    if _is_dd(m.re) or _is_dd(v.re):
+        def f(a, b):                       # O(1) dd ops (see _c_matmul)
+            bt = _c_transpose(b, (1, 0))[:, None, :]     # (nk, 1, 2)
+            t = a * bt                                   # (nk, 2, 2)
+            return _c_transpose(t[..., 0] + t[..., 1], (1, 0))
+    else:
+        f = lambda a, b: jnp.einsum("kij,jk->ik", a, b)
     return CZ(f(m.re, v.re) - f(m.im, v.im), f(m.re, v.im) + f(m.im, v.re))
 
 
@@ -733,65 +853,99 @@ def _surface_operator(model: LayeredModel, zs, om_c, k,
     zbot = jnp.concatenate([iface_depth,
                             jnp.full((1,), jnp.inf, tops.dtype)])
 
-    blocks = [_psv_blocks(k, om_c, model.vp[i], model.vs[i], model.rho[i])
-              for i in range(nlay)]
+    # stacked per-layer eigenblocks, leading (nlay,) axis
+    blocks = jax.vmap(lambda vp, vs, rho: _psv_blocks(k, om_c, vp, vs, rho)
+                      )(model.vp, model.vs, model.rho)
+    blk0 = jax.tree_util.tree_map(lambda a: a[0], blocks)
 
-    # partial thicknesses on each side of the source
-    h_above = [jnp.clip(jnp.minimum(zbot[i], zs) - tops[i], 0.0, None)
-               for i in range(nlay)]
-    h_below = [jnp.clip(jnp.minimum(zbot[i], 1e9) - jnp.maximum(tops[i], zs),
-                        0.0, None)
-               for i in range(nlay)]
+    # partial thicknesses on each side of the source, (nlay,)
+    h_above = jnp.clip(jnp.minimum(zbot, zs) - tops, 0.0, None)
+    h_below = jnp.clip(jnp.minimum(zbot, 1e9) - jnp.maximum(tops, zs),
+                       0.0, None)
 
-    eye_like = blocks[0][0]                                # any (nk,2,2)
+    eye_like = blk0[0]                                     # any (nk,2,2)
     ident2 = _stack2_identity(eye_like)
-    identsh = _stacksh_identity(blocks[0][4])              # (nk,) scalar like
+    identsh = _stacksh_identity(blk0[4])                   # (nk,) scalar like
 
-    mu = [model.rho[i] * model.vs[i] ** 2 for i in range(nlay)]
+    mu = model.rho * model.vs ** 2                         # (nlay,)
+    # pad a leading identity slot (NOT a[:1]: that is empty for a
+    # single-layer model, where there are zero internal interfaces)
+    pad_ident = lambda ident, t: jax.tree_util.tree_map(
+        lambda i, a: jnp.concatenate([i[None], a]), ident, t)
+    head = lambda a: jax.tree_util.tree_map(lambda v: v[:-1], a)
+    tail = lambda a: jax.tree_util.tree_map(lambda v: v[1:], a)
 
-    # A-stack: free-surface side, top -> source level
-    SA2, SAsh = ident2, identsh
-    for i in range(nlay):
-        if i > 0:
-            in_a = iface_depth[i - 1] <= zs
-            if2 = _where_stack(in_a, _interface2(blocks[i - 1], blocks[i]),
-                               ident2)
-            ifsh = _where_stack(in_a,
-                                _interfacesh(mu[i - 1], blocks[i - 1][5],
-                                             mu[i], blocks[i][5]), identsh)
-            SA2 = _stack2_compose(SA2, if2)
-            SAsh = _stacksh_compose(SAsh, ifsh)
-        SA2 = _stack2_compose(SA2, _stack2_phase(blocks[i][4], blocks[i][5],
-                                                 h_above[i]))
-        SAsh = _stacksh_compose(SAsh, _stacksh_phase(blocks[i][5],
-                                                     h_above[i]))
+    # Interface R/T solved ONCE per internal interface ((nlay-1,) leading
+    # axis), OUTSIDE the composition scans. The 2x2 solves dominate the
+    # scan-body graph; hoisting them (a) dedupes the A/B stacks' identical
+    # solves and (b) halves the compiled scan-region size, which for the
+    # dd path is the difference between minutes and tens of seconds of
+    # XLA compile time.
+    ifaces2 = jax.vmap(_interface2)(head(blocks), tail(blocks))
+    ifacessh = jax.vmap(_interfacesh)(head(mu), head(blocks[5]),
+                                      tail(mu), tail(blocks[5]))
+
+    # A-stack: free-surface side, top -> source level. The layer loops are
+    # lax.scan, not Python loops: unrolled they multiply the per-frequency
+    # program size by nlay, which (after XLA's f64-pair emulation) made the
+    # gradient program too large to compile on TPU.
+    def a_step(carry, xs):
+        SA2, SAsh = carry
+        if2_raw, ifsh_raw, ga, gb, ina, ha = xs
+        SA2 = _stack2_compose(SA2, _where_stack(ina, if2_raw, ident2))
+        SAsh = _stacksh_compose(SAsh, _where_stack(ina, ifsh_raw, identsh))
+        SA2 = _stack2_compose_phase(SA2, ga, gb, ha)
+        SAsh = _stacksh_compose_phase(SAsh, gb, ha)
+        # in-body fence: materialize the carry every step — without it the
+        # axon runtime's f64-pair emulation miscompiles the fused
+        # cross-step algebra for the omega=0 lane at production configs
+        # (nk=512; the scan-exit barrier below catches only the small-nk
+        # shapes). See the barrier note after the scan.
+        return jax.lax.optimization_barrier((SA2, SAsh)), None
+
+    # step i consumes interface (i-1, i): pad the stacks with one leading
+    # identity slot (slot 0 is masked off by in_a[0] = False anyway)
+    in_a = jnp.concatenate([jnp.zeros((1,), bool), iface_depth <= zs])
+    (SA2, SAsh), _ = jax.lax.scan(
+        a_step, (ident2, identsh),
+        (pad_ident(ident2, ifaces2), pad_ident(identsh, ifacessh),
+         blocks[4], blocks[5], in_a, h_above))
+    # optimization_barrier: on the axon TPU runtime, letting XLA fuse the
+    # scan result into the downstream receiver-map algebra miscompiles the
+    # f64-pair emulation for the (vmapped) omega=0 lane — SA2 feeds rev2/W2
+    # as NaN while the identical math is finite unbatched, with scan
+    # outputs attached, or with this barrier (bisected on hardware; CPU is
+    # always correct). Zero-cost fence, no extra memory.
+    SA2, SAsh = jax.lax.optimization_barrier((SA2, SAsh))
 
     # B-stack: source level -> radiating half-space (trailing half-space
     # phase omitted: it cannot change RD seen from the source side)
-    SB2, SBsh = ident2, identsh
-    for i in range(nlay - 1):
-        SB2 = _stack2_compose(SB2, _stack2_phase(blocks[i][4], blocks[i][5],
-                                                 h_below[i]))
-        SBsh = _stacksh_compose(SBsh, _stacksh_phase(blocks[i][5],
-                                                     h_below[i]))
-        in_b = iface_depth[i] > zs
-        if2 = _where_stack(in_b, _interface2(blocks[i], blocks[i + 1]),
-                           ident2)
-        ifsh = _where_stack(in_b,
-                            _interfacesh(mu[i], blocks[i][5],
-                                         mu[i + 1], blocks[i + 1][5]),
-                            identsh)
-        SB2 = _stack2_compose(SB2, if2)
-        SBsh = _stacksh_compose(SBsh, ifsh)
+    def b_step(carry, xs):
+        SB2, SBsh = carry
+        if2_raw, ifsh_raw, ga, gb, inb, hb = xs
+        SB2 = _stack2_compose_phase(SB2, ga, gb, hb)
+        SBsh = _stacksh_compose_phase(SBsh, gb, hb)
+        SB2 = _stack2_compose(SB2, _where_stack(inb, if2_raw, ident2))
+        SBsh = _stacksh_compose(SBsh, _where_stack(inb, ifsh_raw, identsh))
+        # in-body fence — see a_step
+        return jax.lax.optimization_barrier((SB2, SBsh)), None
 
-    Ud0, Uu0, Sd0, Su0 = blocks[0][:4]
+    (SB2, SBsh), _ = jax.lax.scan(
+        b_step, (ident2, identsh),
+        (ifaces2, ifacessh, head(blocks[4]), head(blocks[5]),
+         iface_depth > zs, h_below[:-1]))
+    # same fence as the A-stack (B tested clean, but the fusion pattern is
+    # identical and the failure is config-dependent — keep them symmetric)
+    SB2, SBsh = jax.lax.optimization_barrier((SB2, SBsh))
+
+    Ud0, Uu0, Sd0, Su0 = blk0[:4]
     eye = _eye2_like(eye_like)
     if free_surface:
         RF2 = -_inv2(Sd0) @ Su0                  # traction-free surface
-        RFsh = CZ(jnp.ones_like(blocks[0][5].re))
+        RFsh = CZ(jnp.ones_like(blk0[5].re))
     else:
         RF2 = cz_zeros_like(eye_like)
-        RFsh = cz_zeros_like(blocks[0][5])
+        RFsh = cz_zeros_like(blk0[5])
 
     # receiver map W: upgoing at source level -> displacement 2-vector at
     # z=0 (incl. free-surface conversion and A-stack reverberations)
@@ -806,18 +960,23 @@ def _surface_operator(model: LayeredModel, zs, om_c, k,
 
     # source-layer material (dynamic gather over the layer axis)
     ls = jnp.searchsorted(iface_depth, zs, side="right")
-    ga_l = cz_stack([b[4] for b in blocks])                # (nlay, nk)
-    gb_l = cz_stack([b[5] for b in blocks])
+    ga_l = blocks[4]                                       # (nlay, nk)
+    gb_l = blocks[5]
     ga_s = cz_take(ga_l, ls, axis=0)
     gb_s = cz_take(gb_l, ls, axis=0)
-    vs_s = jnp.take(model.vs, ls)
+    vs_s = _c_take(model.vs, ls)
     chi_s = 2.0 * k * k - om_c * om_c / (vs_s * vs_s)
 
     inner2 = _inv2(eye - RA2 @ RB2)
     innersh = 1.0 / (1.0 - RAsh * RBsh)
-    return _SurfaceOperator(W2=W2, RA2=RA2, RB2=RB2, inner2=inner2,
-                            Wsh=Wsh, RAsh=RAsh, RBsh=RBsh, innersh=innersh,
-                            ga_s=ga_s, gb_s=gb_s, vs_s=vs_s, chi_s=chi_s)
+    op = _SurfaceOperator(W2=W2, RA2=RA2, RB2=RB2, inner2=inner2,
+                          Wsh=Wsh, RAsh=RAsh, RBsh=RBsh, innersh=innersh,
+                          ga_s=ga_s, gb_s=gb_s, vs_s=vs_s, chi_s=chi_s)
+    # second fence (see the scan barriers above): keep the operator algebra
+    # from fusing into the per-channel response/assembly consumers — the
+    # same axon f64-pair miscompile reappears at this boundary in the
+    # full-synthesis program even with the scan fences in place
+    return jax.lax.optimization_barrier(op)
 
 
 def _operator_response(op: _SurfaceOperator, k, om_c, a):
@@ -826,15 +985,27 @@ def _operator_response(op: _SurfaceOperator, k, om_c, a):
     common factor -1/(4 pi^2 rho_src) NOT yet applied."""
     src2 = _psv_sources(k, om_c, op.ga_s, op.gb_s, op.chi_s, a)
     srcsh = _sh_sources(k, op.gb_s, op.vs_s, a)
-    out = {"psv": {}, "sh": {}}
-    for ch, (su, sd) in src2.items():
+    # channels ride a leading vmapped axis: ONE batched response chain in
+    # the program instead of 5 + 4 inlined copies (for the dd band each
+    # copy is ~10^3 HLO ops — channel unrolling was a measurable slice of
+    # the multi-minute XLA compiles)
+    ch2 = list(src2)
+    su2 = cz_stack([src2[c][0] for c in ch2])          # (nch, 2, nk)
+    sd2 = cz_stack([src2[c][1] for c in ch2])
+
+    def psv_one(su, sd):
         db = _apply2(op.inner2, sd + _apply2(op.RA2, su))
         ua = su + _apply2(op.RB2, db)
-        out["psv"][ch] = _apply2(op.W2, ua)
-    for ch, (su, sd) in srcsh.items():
-        db = op.innersh * (sd + op.RAsh * su)
-        out["sh"][ch] = op.Wsh * (su + op.RBsh * db)
-    return out
+        return _apply2(op.W2, ua)
+
+    u2 = jax.vmap(psv_one)(su2, sd2)                   # (nch, 2, nk)
+    chsh = list(srcsh)
+    sush = cz_stack([srcsh[c][0] for c in chsh])       # (nchsh, nk)
+    sdsh = cz_stack([srcsh[c][1] for c in chsh])
+    dbsh = op.innersh * (sdsh + op.RAsh * sush)        # broadcast over nchsh
+    ush = op.Wsh * (sush + op.RBsh * dbsh)
+    return {"psv": {c: u2[i] for i, c in enumerate(ch2)},
+            "sh": {c: ush[i] for i, c in enumerate(chsh)}}
 
 
 def _surface_response(model: LayeredModel, zs, om_c, k, a,
@@ -898,8 +1069,11 @@ def _assemble_receivers(resp, k, dk, r, phi, rho_src):
     w = k * dk                                        # (nk,) midpoint weight
 
     def contract(mat, vec: CZ) -> CZ:                 # (nr,nk) x CZ(nk,)
-        return CZ(jnp.einsum("rk,k->r", mat, w * vec.re),
-                  jnp.einsum("rk,k->r", mat, w * vec.im))
+        # HIGHEST: the TPU default contracts in bf16 (~3 digits), which is
+        # not enough for the oscillatory Bessel quadrature
+        hp = jax.lax.Precision.HIGHEST
+        return CZ(jnp.einsum("rk,k->r", mat, w * vec.re, precision=hp),
+                  jnp.einsum("rk,k->r", mat, w * vec.im, precision=hp))
 
     zero = CZ(jnp.zeros_like(r))
     ur, uphi, uz = zero, zero, zero
@@ -946,12 +1120,197 @@ def _stf_cutoff(stf, om_max: float) -> float:
     return om_max
 
 
+def _moment_coeffs(mxyz, dtype):
+    """Moment tensor (x=N, y=E, z=Up frame) -> the six azimuthal source
+    coefficients (a0, a0z, a1c, a1s, a2c, a2s) in the internal z-down
+    frame. Linear in ``mxyz`` — the transpose map the structured VJP needs
+    is jax.vjp of this function."""
+    flip = jnp.array([[1.0, 1.0, -1.0],
+                      [1.0, 1.0, -1.0],
+                      [-1.0, -1.0, 1.0]], dtype)
+    m_int = jnp.asarray(mxyz) * flip
+    return ((m_int[0, 0] + m_int[1, 1]) / 2.0, m_int[2, 2],
+            m_int[0, 2], m_int[1, 2],
+            (m_int[0, 0] - m_int[1, 1]) / 2.0, m_int[0, 1])
+
+
+def _band_operators(model: LayeredModel, z, k_np, om_np, kind, alpha_damp,
+                    free_surface):
+    """Stage A of the synthesis: moment-independent surface operators for
+    one frequency band, stack algebra in the band ``kind``:
+
+      * 'f64' — float64 pairs (the CPU parity path);
+      * 'dd'  — double-float32 pairs (the TPU production path: no f64 in
+        the compiled program at all — see the CZ section note);
+      * 'f32' — plain float32 pairs (the cheap high-frequency band).
+
+    ``k_np``/``om_np`` are STATIC numpy float64 grids; the dd split of
+    them therefore happens at trace time (exact, free). Depends on the
+    source only through its depth ``z`` — the expensive stage (per-layer
+    scans of interface solves), and the only one the structured VJP has
+    to forward-differentiate."""
+    if kind == "dd":
+        modelc = model._replace(
+            thickness=jnp.asarray(model.thickness, jnp.float32),
+            vp=_ddf.from_float64(model.vp), vs=_ddf.from_float64(model.vs),
+            rho=_ddf.from_float64(model.rho))
+        zc = jnp.asarray(z, jnp.float32)
+        kc = _ddf.from_float64(np.asarray(k_np))
+        om_band = _ddf.from_float64(np.asarray(om_np))
+        alpha = _ddf.const(alpha_damp)
+        one = lambda om_re: _surface_operator(modelc, zc, CZ(om_re, alpha),
+                                              kc,
+                                              free_surface=free_surface)
+        return jax.vmap(one)(om_band)
+    fdt = jnp.float64 if kind == "f64" else jnp.float32
+    modelc = jax.tree_util.tree_map(lambda v: jnp.asarray(v, fdt), model)
+    zc = jnp.asarray(z, fdt)
+    kc = jnp.asarray(np.asarray(k_np, _np_dtype(fdt)))
+    om_band_j = jnp.asarray(np.asarray(om_np, _np_dtype(fdt)))
+
+    def one(om_re):
+        om_c = CZ(om_re, jnp.asarray(alpha_damp, fdt))
+        return _surface_operator(modelc, zc, om_c, kc,
+                                 free_surface=free_surface)
+
+    return jax.vmap(one)(om_band_j)
+
+
+def _np_dtype(fdt):
+    return np.float64 if fdt == jnp.float64 else np.float32
+
+
+def _band_spectra(ops, a, k_np, dk, r, phi, rho_src, om_np, kind,
+                  alpha_damp, dtype):
+    """Stage B: apply the moment coefficients to one band of surface
+    operators and assemble receiver spectra — CZ (n_band, nr, 3) in the
+    working ``dtype``. Cheap (no interface solves); this is the stage the
+    structured VJP runs reverse-mode through."""
+    k_work = jnp.asarray(np.asarray(k_np, _np_dtype(dtype)))
+    if kind == "dd":
+        kc = _ddf.from_float64(np.asarray(k_np))
+        ac = tuple(_ddf.from_float(jnp.asarray(ai, jnp.float32)) for ai in a)
+        alpha = _ddf.const(alpha_damp)
+        om_band = _ddf.from_float64(np.asarray(om_np))
+        mk_om = lambda om_re: CZ(om_re, alpha)
+    else:
+        fdt = jnp.float64 if kind == "f64" else jnp.float32
+        kc = jnp.asarray(np.asarray(k_np, _np_dtype(fdt)))
+        ac = tuple(jnp.asarray(ai, fdt) for ai in a)
+        om_band = jnp.asarray(np.asarray(om_np, _np_dtype(fdt)))
+        mk_om = lambda om_re: CZ(om_re, jnp.asarray(alpha_damp, fdt))
+
+    def one(op, om_re):
+        resp = _operator_response(op, kc, mk_om(om_re), ac)
+        # cast the CZ pairs to the working precision for the Bessel
+        # assembly (is_leaf at the CZ level: DD components collapse to a
+        # plain array via hi + lo inside CZ.astype)
+        resp = jax.tree_util.tree_map(
+            lambda v: v.astype(dtype), resp,
+            is_leaf=lambda v: isinstance(v, CZ))
+        return _assemble_receivers(resp, k_work, dk, r, phi, rho_src)
+
+    return jax.vmap(one)(ops, om_band)
+
+
+def _finish_synthesis(spec_cz, om_np, nfft, nt, dt, stf, alpha_damp, t0,
+                      dtype, cdtype):
+    """Active-band spectra CZ (n_act, nr, 3) -> (nr, 3, nt) seismograms:
+    zero-pad to the full rfft grid, apply the STF spectrum and origin-time
+    shift, inverse FFT with damping removal, flip z-down -> z-up."""
+    if dtype != jnp.float64 and spec_cz.re.shape[0] >= 3:
+        # omega = 0 lane, float32 path: at omega_c = i*alpha the P-SV
+        # stack algebra's conditioning exceeds even double-float32 (the
+        # eigencolumns become exactly parallel; measured errors are O(1)
+        # and luck-of-rounding). Conjugate symmetry of a real signal's
+        # spectrum gives U(-conj(omega_c)) = conj(U), so Re U is EVEN and
+        # Im U is ODD in omega: U(0) is real and equals the even quadratic
+        # through lanes 1, 2. Measured reconstruction error ~5e-8 on the
+        # Fukuoka config — below the f32 quadrature noise floor, where the
+        # direct dd lane-0 is garbage. (The float64 path computes lane 0
+        # directly; f64 absorbs the conditioning.)
+        re0 = (4.0 * spec_cz.re[1] - spec_cz.re[2]) / 3.0
+        spec_cz = CZ(spec_cz.re.at[0].set(re0),
+                     spec_cz.im.at[0].set(0.0))
+    om = jnp.asarray(np.asarray(om_np, _np_dtype(dtype)))
+    spec_act = spec_cz.to_complex(cdtype)
+    nf = om.shape[0]
+    spec = jnp.zeros((nf,) + spec_act.shape[1:], cdtype)
+    spec = spec.at[:spec_act.shape[0]].set(spec_act)
+    # working-precision complex frequency for STF/shift (complex128 does
+    # not exist on the TPU runtime; c64 is fine here)
+    om_cw = om + jnp.asarray(1j * alpha_damp, cdtype)
+    s = stf_spectrum(om, om_cw, stf, dtype)
+    s = s * jnp.exp(jnp.asarray(1j, cdtype) * om_cw * (-t0))
+    U = jnp.moveaxis(spec, 0, -1) * s                  # (nr, 3, nf)
+    u = _synthesize(U, nt, dt, alpha_damp, nfft)
+    return u.at[:, 2, :].multiply(-1.0)                # z-down -> up
+
+
+class _SynthPlan(NamedTuple):
+    """Static frequency/wavenumber grid layout shared by the plain forward
+    and the structured-VJP forward. Grids are NUMPY float64 so no
+    full-precision constant enters the compiled program directly — each
+    band converts to its own arithmetic kind at trace time."""
+
+    om_np: np.ndarray      # (nf,) full rfft angular-frequency grid
+    nfft: int
+    om_act_np: np.ndarray  # (n_act,) active (STF-supported) frequencies
+    k_np: np.ndarray       # (nk,) wavenumber midpoint grid
+    dk: float
+    n_lo: int              # active bins in the high-precision band
+
+
+def _synth_plan(nt, dt, pad, stf, nk, kmax, hp_below) -> _SynthPlan:
+    nfft = int(pad * nt)
+    dom = 2.0 * math.pi / (nfft * dt)           # static python float
+    om_np = np.arange(nfft // 2 + 1, dtype=np.float64) * dom
+    om_nyq = dom * (nfft // 2)
+    n_act = min(om_np.shape[0], int(_stf_cutoff(stf, om_nyq) / dom) + 2)
+    dk = kmax / nk
+    k_np = (np.arange(nk, dtype=np.float64) + 0.5) * dk    # midpoint rule
+    if math.isinf(hp_below):
+        n_lo = n_act
+    else:
+        n_lo = min(n_act, max(0, int(math.ceil(hp_below / dom))))
+    return _SynthPlan(om_np=om_np, nfft=nfft, om_act_np=om_np[:n_act],
+                      k_np=k_np, dk=dk, n_lo=n_lo)
+
+
+def _plan_bands(plan: _SynthPlan, dtype):
+    """[(om_np_band, kind)] — the high-precision low band ('f64' for
+    float64 inputs, 'dd' for float32) and the plain-f32 remainder (either
+    may be absent)."""
+    n_act = plan.om_act_np.shape[0]
+    hp = "f64" if dtype == jnp.float64 else "dd"
+    bands = []
+    if plan.n_lo > 0:
+        bands.append((plan.om_act_np[:plan.n_lo], hp))
+    if plan.n_lo < n_act:
+        bands.append((plan.om_act_np[plan.n_lo:], "f32"))
+    return bands
+
+
+def _source_geometry(x, y, z, stations: StationSet, model: LayeredModel):
+    """(r, phi, rho_src): receiver offsets/azimuths and the source-layer
+    density (piecewise-constant in z — no gradient)."""
+    dxr = stations.x - x
+    dyr = stations.y - y
+    r = jnp.maximum(jnp.sqrt(dxr * dxr + dyr * dyr), 1e-6)
+    phi = jnp.arctan2(dyr, dxr)
+    rho_src = jnp.take(model.rho,
+                       jnp.searchsorted(jnp.cumsum(model.thickness[:-1]),
+                                        z, side="right"))
+    return r, phi, rho_src
+
+
 def layered_seismograms(x, y, z, mxyz, stations: StationSet,
                         model: LayeredModel | None = None, nt: int = 61,
                         dt: float = 1.0, stf=("clp_step", 0.05, 0.2),
                         alpha_damp: float = 0.023, pad: int = 2,
                         t0: float = 0.0, nk: int = 1024, kmax: float = 2.5,
-                        free_surface: bool = True):
+                        free_surface: bool = True,
+                        hp_below: float | None = None):
     """Layered-medium three-component seismograms (nr, 3, nt).
 
     The TPU-native replacement for the reference's pyprop8 forward
@@ -962,98 +1321,165 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
     ``free_surface=False`` buries the receivers in an unbounded medium
     above — the mode the whole-space parity tests use.
 
-    Precision: the per-(omega, k) stack algebra runs on float64 (re, im)
-    pairs (:class:`CZ`) regardless of the input dtype — the P-SV up/down
-    eigenbasis degenerates as omega -> 0 (the P and SV columns become
-    parallel, the same degeneracy that motivates pyprop8's minor-vector
-    formulation), which float64 absorbs (relative determinants ~omega^2
-    stay far above 1e-16) but float32 turns into NaN. The pair form runs
-    on TPU, whose runtime supports f64 but rejects complex128. The Bessel
-    assembly and FFT synthesis then run in the working dtype, so float32
-    inputs get a float32 assembly and a complex64 FFT. Requires
-    jax_enable_x64.
+    Precision: the per-(omega, k) stack algebra needs ~2x-float32
+    precision ONLY at low frequency — the P-SV up/down eigenbasis
+    degenerates as omega -> 0 (the P and SV columns become parallel, the
+    same degeneracy that motivates pyprop8's minor-vector formulation),
+    and float32 turns the cancellation into NaN below |omega| ~ 0.1 rad/s
+    (measured: NaN at omega <= 0.06, 3.7e-3 rel error at 0.10, <= 3e-5
+    above 0.2 for the Fukuoka config). Frequencies below ``hp_below``
+    (rad/s) therefore run their stack algebra in a high-precision band:
+
+      * float32 inputs (the TPU production path): double-float32 pairs
+        (ops/ddfloat.py) — ~49-bit precision from plain f32 ops, no
+        float64 anywhere in the compiled program. TPU's emulated f64 is
+        both ~1000x the f32 op cost and miscompiles this program (NaN,
+        hardware-bisected); dd32 has neither problem, and the identical
+        dd32 path runs in the CPU test suite. Works WITHOUT x64 mode.
+      * float64 inputs: float64 pairs — the CPU parity/oracle path
+        (requires jax_enable_x64).
+
+    Default ``hp_below``: 0.4 rad/s for float32 inputs, +inf for float64
+    inputs (full-f64 everywhere). The Bessel assembly and FFT synthesis
+    always run in the working dtype. Float32 accuracy is set by the f32
+    Bessel k-quadrature (oscillatory cancellation ~1e3-1e4x leaves
+    ~1e-8 absolute noise per frequency lane), NOT by the stack algebra:
+    measured end-to-end ~7e-8 absolute / ~1.3e-2 of peak on the
+    unit-moment Fukuoka config, scaling linearly with the moment like the
+    signal itself — inversion-grade (the reference adds 5-10%-of-peak GP
+    noise to its observations), not oracle-grade; use float64 inputs for
+    parity work. The omega = 0 lane is reconstructed from conjugate
+    symmetry on the float32 path (see _finish_synthesis).
     """
-    if not jax.config.jax_enable_x64:
-        raise RuntimeError(
-            "layered_seismograms requires jax.config.update('jax_enable_x64',"
-            " True): the interface R/T solve degenerates at low frequency "
-            "and must run in float64 (see docstring)")
     if model is None:
         model = fukuoka_model()
     dtype = jnp.asarray(x).dtype
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "float64 layered_seismograms inputs require "
+            "jax.config.update('jax_enable_x64', True); use float32 "
+            "inputs for the x64-free dd32 path")
+    if hp_below is None:
+        hp_below = math.inf if dtype == jnp.float64 else 0.4
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    model64 = jax.tree_util.tree_map(
-        lambda v: jnp.asarray(v, jnp.float64), model)
-    z64 = jnp.asarray(z, jnp.float64)
-    om, nfft = _synthesis_grid(nt, dt, pad=pad, dtype=dtype)
-    dom = 2.0 * math.pi / (nfft * dt)           # static python float
-    om_nyq = dom * (nfft // 2)
-    n_act = min(om.shape[0], int(_stf_cutoff(stf, om_nyq) / dom) + 2)
-    om_re_act = jnp.arange(n_act, dtype=jnp.float64) * dom
-
-    dk = kmax / nk
-    k = (jnp.arange(nk, dtype=dtype) + 0.5) * dk       # midpoint rule
-    k64 = k.astype(jnp.float64)
-
-    # azimuthal moment coefficients in the internal z-down frame
-    flip = jnp.array([[1.0, 1.0, -1.0],
-                      [1.0, 1.0, -1.0],
-                      [-1.0, -1.0, 1.0]], dtype)
-    m_int = jnp.asarray(mxyz) * flip
-    a = ((m_int[0, 0] + m_int[1, 1]) / 2.0, m_int[2, 2],
-         m_int[0, 2], m_int[1, 2],
-         (m_int[0, 0] - m_int[1, 1]) / 2.0, m_int[0, 1])
-
-    dxr = stations.x - x
-    dyr = stations.y - y
-    r = jnp.sqrt(dxr * dxr + dyr * dyr)
-    r = jnp.maximum(r, 1e-6)
-    phi = jnp.arctan2(dyr, dxr)
-    rho_src = jnp.take(model.rho,
-                       jnp.searchsorted(jnp.cumsum(model.thickness[:-1]),
-                                        z, side="right"))
-
-    a64 = tuple(jnp.asarray(ai, jnp.float64) for ai in a)
-
-    def one_freq(om_re):
-        om_c = CZ(om_re, jnp.asarray(alpha_damp, jnp.float64))
-        resp = _surface_response(model64, z64, om_c, k64, a64,
-                                 free_surface=free_surface)
-        # CZ leaves are real arrays: this casts f64 pairs down to the
-        # working precision for the Bessel assembly
-        resp = jax.tree_util.tree_map(lambda v: v.astype(dtype), resp)
-        return _assemble_receivers(resp, k, dk, r, phi, rho_src)
-
-    spec_cz = jax.vmap(one_freq)(om_re_act)            # CZ (n_act, nr, 3)
-    spec_act = spec_cz.to_complex(cdtype)
-    nf = om.shape[0]
-    spec = jnp.zeros((nf,) + spec_act.shape[1:], cdtype)
-    spec = spec.at[:n_act].set(spec_act)
-    # working-precision complex frequency for STF/shift (complex128 does
-    # not exist on the TPU runtime; c64 is fine here)
-    om_cw = om + jnp.asarray(1j * alpha_damp, cdtype)
-    s = stf_spectrum(om, om_cw, stf, dtype)
-    s = s * jnp.exp(jnp.asarray(1j, cdtype) * om_cw * (-t0))
-    U = jnp.moveaxis(spec, 0, -1) * s                  # (nr, 3, nf)
-    u = _synthesize(U, nt, dt, alpha_damp, nfft)
-    u = u.at[:, 2, :].multiply(-1.0)                   # z-down -> up
+    plan = _synth_plan(nt, dt, pad, stf, nk, kmax, hp_below)
+    a = _moment_coeffs(mxyz, dtype)
+    r, phi, rho_src = _source_geometry(x, y, z, stations, model)
+    parts = []
+    for om_band, kind in _plan_bands(plan, dtype):
+        ops = _band_operators(model, z, plan.k_np, om_band, kind,
+                              alpha_damp, free_surface)
+        parts.append(_band_spectra(ops, a, plan.k_np, plan.dk, r, phi,
+                                   rho_src, om_band, kind, alpha_damp,
+                                   dtype))
+    spec_cz = parts[0] if len(parts) == 1 else CZ(
+        jnp.concatenate([p_.re for p_ in parts]),
+        jnp.concatenate([p_.im for p_ in parts]))
+    u = _finish_synthesis(spec_cz, plan.om_np, plan.nfft, nt, dt, stf,
+                          alpha_damp, t0, dtype, cdtype)
     tt = t0 + dt * jnp.arange(nt, dtype=dtype)
     return tt, u
 
 
 def make_layered_forward(stations: StationSet,
                          model: LayeredModel | None = None, nt: int = 61,
-                         dt: float = 1.0, **kw):
+                         dt: float = 1.0, structured_vjp: bool = True,
+                         **kw):
     """Bind a station/model configuration into the pluggable-forward
     signature the inversion layer consumes:
     ``forward(x, y, z, mxyz) -> (nr, 3, nt)``
     (inversion/loc_cmt.py predicted_seismograms). Extra keywords are passed
-    to :func:`layered_seismograms` (nk, kmax, stf, alpha_damp, t0, ...)."""
+    to :func:`layered_seismograms` (nk, kmax, stf, alpha_damp, t0, ...).
+
+    ``structured_vjp=True`` (default) installs a custom VJP that exploits
+    the synthesis structure instead of reverse-differentiating the whole
+    f-k solve: the expensive stage A (per-layer interface scans,
+    :func:`_band_operators`) depends on the source only through its scalar
+    depth ``z``, while x, y enter only the Bessel assembly and the moment
+    tensor only the (linear) source application. The backward pass
+    therefore runs reverse-mode through the cheap stage B and contracts
+    the stage-A cotangent with one forward-mode JVP in ``z`` — O(1)
+    forward-equivalents total, versus a reverse sweep of the f64 layer
+    scans (which on TPU, where f64 is software-emulated, measured ~60x the
+    forward cost). Gradients agree with plain autodiff to roundoff
+    (tests/test_layered.py); set ``structured_vjp=False`` for the pure-AD
+    reference path.
+    """
     if model is None:
         model = fukuoka_model()
 
-    def forward(x, y, z, mxyz):
+    def plain(x, y, z, mxyz):
         return layered_seismograms(x, y, z, mxyz, stations, model=model,
                                    nt=nt, dt=dt, **kw)[1]
 
+    if not structured_vjp:
+        return plain
+
+    stf = kw.get("stf", ("clp_step", 0.05, 0.2))
+    alpha_damp = kw.get("alpha_damp", 0.023)
+    pad = kw.get("pad", 2)
+    t0 = kw.get("t0", 0.0)
+    nk = kw.get("nk", 1024)
+    kmax = kw.get("kmax", 2.5)
+    free_surface = kw.get("free_surface", True)
+    hp_below = kw.get("hp_below", None)
+
+    def _plan_for(dtype):
+        hp = hp_below
+        if hp is None:
+            hp = math.inf if dtype == jnp.float64 else 0.4
+        return _synth_plan(nt, dt, pad, stf, nk, kmax, hp)
+
+    def _stage_a(z, dtype):
+        plan = _plan_for(dtype)
+        return tuple(_band_operators(model, z, plan.k_np, om_band, kind,
+                                     alpha_damp, free_surface)
+                     for om_band, kind in _plan_bands(plan, dtype))
+
+    def _stage_b(ops_tuple, x, y, z_ng, a):
+        dtype = jnp.asarray(x).dtype
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        plan = _plan_for(dtype)
+        r, phi, rho_src = _source_geometry(x, y, z_ng, stations, model)
+        parts = [
+            _band_spectra(ops, a, plan.k_np, plan.dk, r, phi, rho_src,
+                          om_band, kind, alpha_damp, dtype)
+            for ops, (om_band, kind) in zip(ops_tuple,
+                                            _plan_bands(plan, dtype))]
+        spec_cz = parts[0] if len(parts) == 1 else CZ(
+            jnp.concatenate([p.re for p in parts]),
+            jnp.concatenate([p.im for p in parts]))
+        return _finish_synthesis(spec_cz, plan.om_np, plan.nfft, nt, dt,
+                                 stf, alpha_damp, t0, dtype, cdtype)
+
+    @jax.custom_vjp
+    def forward(x, y, z, mxyz):
+        return plain(x, y, z, mxyz)
+
+    def _fwd(x, y, z, mxyz):
+        dtype = jnp.asarray(x).dtype
+        a = _moment_coeffs(mxyz, dtype)
+        ops = _stage_a(z, dtype)
+        # rho_src is piecewise-constant in z (searchsorted gather): its z
+        # cotangent is zero in the pure-AD path too, so z rides stage B as
+        # a stop-gradient constant and its real gradient comes from the
+        # stage-A JVP in _bwd
+        z_ng = jax.lax.stop_gradient(z)
+        u, vjp_b = jax.vjp(_stage_b, ops, x, y, z_ng, a)
+        return u, (vjp_b, z, mxyz)
+
+    def _bwd(res, g):
+        vjp_b, z, mxyz = res
+        dtype = jnp.asarray(z).dtype
+        g_ops, g_x, g_y, _, g_a = vjp_b(g)
+        _, dops = jax.jvp(lambda zz: _stage_a(zz, dtype), (z,),
+                          (jnp.ones_like(z),))
+        g_z = sum(jnp.sum(gl * dl) for gl, dl
+                  in zip(jax.tree_util.tree_leaves(g_ops),
+                         jax.tree_util.tree_leaves(dops)))
+        _, vjp_a = jax.vjp(lambda mm: _moment_coeffs(mm, dtype), mxyz)
+        (g_m,) = vjp_a(g_a)
+        return g_x, g_y, jnp.asarray(g_z, dtype), g_m
+
+    forward.defvjp(_fwd, _bwd)
     return forward

@@ -157,13 +157,17 @@ def _distance_field_pallas_impl(verts, tgrid, ugrid, tpts: int, sc: int,
 
     kernel = functools.partial(_kernel, tpts=tpts, sc=sc,
                                n_chunks=s_pad // sc, ntg=ntg, rows=rows)
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles * rows, tpts), dtype),
-        jax.ShapeDtypeStruct((n_tiles * rows, tpts), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * rows, tpts), dtype),
-        jax.ShapeDtypeStruct((n_tiles * rows, tpts), dtype),
-        jax.ShapeDtypeStruct((n_tiles * rows, tpts), dtype),
-    ]
+    # under shard_map with check_vma=True (parallel/grid_shard.py) pallas
+    # outputs must declare how they vary over mesh axes: they vary over
+    # the union of the input variances (every output depends on every
+    # input); outside shard_map the union is the empty set, a no-op
+    vma = frozenset()
+    for x in (scal, segs):
+        vma = vma | getattr(jax.typeof(x), "vma", frozenset())
+    sds = lambda dt: jax.ShapeDtypeStruct((n_tiles * rows, tpts), dt,
+                                          vma=vma)
+    out_shape = [sds(dtype), sds(jnp.int32), sds(dtype), sds(dtype),
+                 sds(dtype)]
     row_spec = pl.BlockSpec((rows, tpts), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     d, iclose, lam, vx, vy = pl.pallas_call(
