@@ -329,9 +329,11 @@ def run_stage(name: str) -> dict:
     if name == "bigfp":
         return {"per": bench_big_fingerprint(n_bigfp)}
     if name == "layered":
-        # the f-k stack algebra needs f64 (models/layered.py docstring);
-        # enable x64 here, before any array work — this stage runs in its
-        # own subprocess so the f32 stages are not contaminated
+        # f32 inputs run the x64-free dd32/f32 band-split path (the TPU
+        # production path, models/layered.py docstring); x64 stays on so
+        # the static model/grid constants split into dd pairs exactly.
+        # This stage runs in its own subprocess so the f32 stages are not
+        # contaminated.
         jax.config.update("jax_enable_x64", True)
         return {"per": bench_layered(impl, n_scan if on_tpu else 1)}
     if name == "f32dev":

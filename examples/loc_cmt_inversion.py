@@ -34,7 +34,14 @@ FUKUOKA_Y = [-75., -77., -70., -50., -46., -42., -25., -26., -23., -5., 30.]
 
 def main(physics: str = "layered", grid: int = 7, nk: int = 384,
          plot: bool = False) -> None:
-    jax.config.update("jax_enable_x64", True)
+    # CPU: float64 oracle path (x64). TPU: float32 inputs — the layered
+    # forward then runs its x64-free dd32/f32 band-split production path
+    # (emulated f64 on this TPU runtime is ~1000x and miscompiles the
+    # stack algebra; models/layered.py docstring).
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float32 if on_tpu else jnp.float64
     from waveform_ot_tpu.inversion import (
         InvOptions, TraceConfig, build_loc_cmt_problem,
         loc_cmt_value_and_grad, minimize_scipy, misfit_grid,
@@ -47,21 +54,26 @@ def main(physics: str = "layered", grid: int = 7, nk: int = 384,
     nt = 61
     if physics == "layered":
         # the reference's Fukuoka network (Figs_9_10_11 cell 17)
-        stations = StationSet(x=jnp.array(FUKUOKA_X), y=jnp.array(FUKUOKA_Y))
+        stations = StationSet(x=jnp.asarray(FUKUOKA_X, dtype),
+                              y=jnp.asarray(FUKUOKA_Y, dtype))
         # GCMT mechanism, Mo in the reference's 1e-13/Nm moment units
-        mxyz = moment_tensor_from_sdr(302.0, 88.0, -14.0, m0=0.93e6)
-        loc_true = jnp.array([1.0, 1.0, 20.0])
+        mxyz = moment_tensor_from_sdr(302.0, 88.0, -14.0,
+                                      m0=0.93e6).astype(dtype)
+        loc_true = jnp.asarray([1.0, 1.0, 20.0], dtype)
         forward = make_layered_forward(stations, model=fukuoka_model(),
                                        nt=nt, dt=1.0, nk=nk, kmax=1.8)
-        t = jnp.arange(nt, dtype=jnp.float64)
-        s = forward(*loc_true, mxyz)
+        t = jnp.arange(nt, dtype=dtype)
+        # jit the data-generation forward too: op-by-op dispatch of the
+        # f-k synthesis hits unimplemented eager kernels on the TPU runtime
+        s = jax.jit(forward)(*loc_true, mxyz)
     else:
         nr = 12
         ang = np.linspace(0, 2 * np.pi, nr, endpoint=False)
-        stations = StationSet(x=jnp.array(60.0 * np.cos(ang) + 5.0),
-                              y=jnp.array(60.0 * np.sin(ang) - 3.0))
-        loc_true = jnp.array([2.0, -1.5, 12.0])
-        mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6)
+        stations = StationSet(x=jnp.asarray(60.0 * np.cos(ang) + 5.0, dtype),
+                              y=jnp.asarray(60.0 * np.sin(ang) - 3.0, dtype))
+        loc_true = jnp.asarray([2.0, -1.5, 12.0], dtype)
+        mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6).astype(
+            dtype)
         forward = None
         t, s = synthetic_seismograms(*loc_true, mxyz, stations, nt=nt,
                                      dt=1.0)

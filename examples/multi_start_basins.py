@@ -44,23 +44,30 @@ def main(nstarts: int = 16, nr: int = 8, cmt: bool = False,
         moment_tensor_from_sdr, synthetic_seismograms, upper_from_mxyz,
     )
 
-    # x64 before ANY array creation (mixed-precision pytrees break the
-    # solver's while_loop carries): the layered f-k solve requires it
-    if physics == "layered" and not jax.config.jax_enable_x64:
+    # Precision is chosen before ANY array creation (mixed-precision
+    # pytrees break the solver's while_loop carries). CPU: float64 oracle
+    # path (x64). TPU: float32 inputs — the layered forward runs its
+    # x64-free dd32/f32 band-split production path (emulated f64 on this
+    # TPU runtime is ~1000x and miscompiles; models/layered.py docstring).
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float32 if on_tpu else jnp.float64
 
     nt = 61
     ang = np.linspace(0, 2 * np.pi, nr, endpoint=False)
-    stations = StationSet(x=jnp.array(60.0 * np.cos(ang)),
-                          y=jnp.array(60.0 * np.sin(ang)))
-    loc_true = jnp.array([2.0, -1.5, 12.0])
-    mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6)
+    stations = StationSet(x=jnp.asarray(60.0 * np.cos(ang), dtype),
+                          y=jnp.asarray(60.0 * np.sin(ang), dtype))
+    loc_true = jnp.asarray([2.0, -1.5, 12.0], dtype)
+    mxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6).astype(dtype)
 
     if physics == "layered":
         forward = make_layered_forward(stations, model=fukuoka_model(),
                                        nt=nt, dt=1.0, nk=nk)
-        t = jnp.arange(nt, dtype=jnp.float64)
-        s = forward(*loc_true, mxyz)
+        t = jnp.arange(nt, dtype=dtype)
+        # jit the data generation too: op-by-op dispatch of the f-k
+        # synthesis hits unimplemented eager kernels on the TPU runtime
+        s = jax.jit(forward)(*loc_true, mxyz)
     else:
         forward = None
         t, s = synthetic_seismograms(*loc_true, mxyz, stations, nt=nt,

@@ -396,10 +396,20 @@ class LayeredModel(NamedTuple):
         return jnp.cumsum(self.thickness[:-1])
 
 
-def layered_model_from_table(table, dtype=jnp.float64) -> LayeredModel:
+def _model_dtype(dtype):
+    """Default model dtype: float64 when x64 is enabled (the CPU oracle
+    path), float32 otherwise (the x64-free TPU path — material constants
+    truncate at ~1e-8 relative, far below the f32 synthesis floor)."""
+    if dtype is not None:
+        return dtype
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def layered_model_from_table(table, dtype=None) -> LayeredModel:
     """Build from the reference's (nlay, 4) [thickness, vp, vs, rho] rows —
     the pp.LayeredStructureModel(model_table, interface_depth_form=False)
     convention of Figs_9_10_11 cell 10 (last row thickness = inf)."""
+    dtype = _model_dtype(dtype)
     t = jnp.asarray([row[0] for row in table], dtype)
     t = jnp.where(jnp.isfinite(t), t, 0.0)
     return LayeredModel(
@@ -409,7 +419,7 @@ def layered_model_from_table(table, dtype=jnp.float64) -> LayeredModel:
         rho=jnp.asarray([row[3] for row in table], dtype))
 
 
-def fukuoka_model(dtype=jnp.float64) -> LayeredModel:
+def fukuoka_model(dtype=None) -> LayeredModel:
     """The six-layer crustal model of the reference's Fukuoka-earthquake
     example (source_location_cmt_W2L2_Figs_9_10_11.ipynb cell 10)."""
     return layered_model_from_table(
@@ -422,9 +432,10 @@ def fukuoka_model(dtype=jnp.float64) -> LayeredModel:
 
 
 def uniform_model(vp=6.0, vs=3.46, rho=2.7, nlayers: int = 1,
-                  thickness: float = 5.0, dtype=jnp.float64) -> LayeredModel:
+                  thickness: float = 5.0, dtype=None) -> LayeredModel:
     """Uniform half-space, optionally split into identical layers (the
     layer-splitting invariance test of the interface recursion)."""
+    dtype = _model_dtype(dtype)
     t = jnp.full((nlayers,), thickness, dtype)
     return LayeredModel(thickness=t,
                         vp=jnp.full((nlayers,), vp, dtype),
