@@ -70,10 +70,9 @@ def main(n: int = 20, plot: bool = False) -> None:
     assert nw1 <= 2 and nw2 <= 2 and nl2 > nw2, \
         "expected W basins wider/fewer than L2's cycle-skipping minima"
 
-    tv, av = jnp.meshgrid(jnp.linspace(-1.5, 1.5, n),
-                          jnp.linspace(0.8, 2.4, n))
     tshifts = jnp.linspace(-1.5, 1.5, n)
     amps = jnp.linspace(0.8, 2.4, n)
+    tv, av = jnp.meshgrid(tshifts, amps)
     ms = jnp.stack([tv.ravel(), av.ravel(),
                     jnp.ones(n * n, tv.dtype)], axis=1)
 

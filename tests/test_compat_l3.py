@@ -379,6 +379,44 @@ class TestLocCmtObjectives:
                   - clc.optfunc_OT(mm, data, noderiv=True)) / (2 * eps)
             assert abs(dmis[k] - fd) < 2e-4 * max(abs(fd), 1e-10)
 
+    def test_return_derivative_arrays_are_4d(self, problem):
+        """returnseisd/returnderiv hand back the UNflattened (nm, nr, nc,
+        nt) derivxyz, exactly like the reference (loc_cmt_util.py:180,
+        304) — not the objectives' internal (nm, nr*nc*nt) matrix."""
+        m = np.array([2.6, -2.4, 4.2])
+        data = dict(problem)
+        data["invopt"] = dict(problem["invopt"], mistype="L2")
+        mis, dmis, t, sp, derivxyz = clc.optfunc_L2(m, data,
+                                                    returnseisd=True)
+        assert derivxyz.shape == (3, 2, 3, 16)
+        mis2, dmis2, derivxyz2, drW = clc.optfunc_OT(m, problem,
+                                                     returnderiv=True)
+        assert derivxyz2.shape == (3, 2, 3, 16)
+        assert drW.shape == (2, 3, 16)
+        # flattening the rows reproduces the returned gradient exactly
+        np.testing.assert_allclose(derivxyz2.reshape(3, -1) @ drW.ravel(),
+                                   dmis2, rtol=0, atol=1e-13)
+
+    def test_cmt_only_restricted_jacobian(self, problem):
+        """loc=False runs the 'mt'-restricted jacfwd (6 forward columns,
+        not 9); the six rows must still be the exact linear coefficients
+        of the moment-tensor dependence."""
+        data = dict(problem)
+        data["invopt"] = dict(problem["invopt"], loc=False, cmt=True,
+                              mistype="L2",
+                              mref=np.array([2.0, -3.0, 4.0]),
+                              mscal=np.ones(6))
+        m6 = np.array([0.3, -0.5, 0.2, 0.7, -0.1, 0.4])
+        mis, dmis = clc.optfunc_L2(m6, data)
+        assert dmis.shape == (6,)
+        eps = 1e-5
+        for k in (1, 5):
+            mp = m6.copy(); mp[k] += eps
+            mm = m6.copy(); mm[k] -= eps
+            fd = (clc.optfunc_L2(mp, data, noderiv=True)
+                  - clc.optfunc_L2(mm, data, noderiv=True)) / (2 * eps)
+            assert abs(dmis[k] - fd) < 2e-5 * max(abs(fd), 1e-8)
+
     def test_precon_scaling(self, problem):
         data = dict(problem)
         data["invopt"] = dict(problem["invopt"], precon=True,

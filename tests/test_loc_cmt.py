@@ -184,6 +184,30 @@ class TestInversion:
                               axis=1).max() < 0.5
         # early exit bookkeeping: every lane reports its own iterations
         assert rb.n_iter.shape == (4,)
+        # healthy lanes must not be flagged as linesearch failures
+        assert not bool(np.any(np.asarray(rb.ls_failed)))
+
+    def test_batched_lbfgs_flags_linesearch_failures(self):
+        """A lane whose objective is non-finite around its iterate is
+        frozen by the backtracking linesearch — the result must SAY so
+        (ls_failed) instead of reporting it like a converged lane."""
+        from waveform_ot_tpu.inversion.lbfgs import minimize_lbfgs_batched
+
+        def fn(x):
+            # quadratic bowl, but NaN for x[0] > 2: the lane starting in
+            # the NaN region has a NaN value/gradient and can never accept
+            v = jnp.sum((x - 1.0) ** 2)
+            return jnp.where(x[0] > 2.0, jnp.nan, v)
+
+        starts = jnp.array([[0.0, 0.0], [5.0, 0.0]])
+        res = jax.jit(lambda xs: minimize_lbfgs_batched(
+            fn, xs, max_iter=50, tol=1e-8))(starts)
+        ok = np.asarray(res.ls_failed)
+        assert not ok[0] and ok[1]
+        np.testing.assert_allclose(np.asarray(res.x[0]), [1.0, 1.0],
+                                   atol=1e-6)
+        # the failed lane stays at its start point
+        np.testing.assert_allclose(np.asarray(res.x[1]), [5.0, 0.0])
 
     def test_multi_start_vmapped(self, setup):
         stations, loc, mxyz, seis_obs, cfg, prob = setup

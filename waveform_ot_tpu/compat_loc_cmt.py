@@ -143,21 +143,41 @@ def _resolve_model(prop8data):
 _FWD_CACHE: dict = {}
 
 
-def _forward_fns(nt, timestep, nk, kmax):
-    """Jitted layered forward + 9-parameter jacfwd, cached per static
-    configuration (model/stations ride as traced pytree arguments)."""
-    key = (int(nt), float(timestep), int(nk), float(kmax))
-    if key not in _FWD_CACHE:
+def _forward_fns(nt, timestep, nk, kmax, jac_mode="full"):
+    """Jitted layered forward + jacfwd restricted to the ACTIVE parameter
+    slice — 'loc' differentiates only (x, y, z), 'mt' only the six m6
+    components, 'full' all 9 — cached per static configuration
+    (model/stations ride as traced pytree arguments). The restriction
+    matters: the flagship loc-only workflow would otherwise pay 9
+    forward-mode columns of the f-k solve per objective call and use 3."""
+    base = (int(nt), float(timestep), int(nk), float(kmax))
+    if base not in _FWD_CACHE:
         def fwd(params, model, stx, sty):
             _, s = layered_seismograms(
                 params[0], params[1], params[2],
                 mxyz_from_upper(params[3:]),
                 StationSet(x=stx, y=sty), model=model,
-                nt=key[0], dt=key[1], nk=key[2], kmax=key[3])
+                nt=base[0], dt=base[1], nk=base[2], kmax=base[3])
             return s
 
-        _FWD_CACHE[key] = (jax.jit(fwd), jax.jit(jax.jacfwd(fwd)))
-    return _FWD_CACHE[key]
+        _FWD_CACHE[base] = {"raw": fwd, "fwd": jax.jit(fwd)}
+    entry = _FWD_CACHE[base]
+    if jac_mode not in entry:
+        raw = entry["raw"]
+        if jac_mode == "loc":
+            def jacfn(params, model, stx, sty):
+                f = lambda p3: raw(jnp.concatenate([p3, params[3:]]),
+                                   model, stx, sty)
+                return jax.jacfwd(f)(params[:3])
+        elif jac_mode == "mt":
+            def jacfn(params, model, stx, sty):
+                f = lambda m6: raw(jnp.concatenate([params[:3], m6]),
+                                   model, stx, sty)
+                return jax.jacfwd(f)(params[3:])
+        else:
+            jacfn = jax.jacfwd(raw)
+        entry[jac_mode] = jax.jit(jacfn)
+    return entry["fwd"], entry[jac_mode]
 
 
 def _assemble_channels(jac, drv, stations):
@@ -204,9 +224,12 @@ def prop8seis(x, y, z, prop8data, Mxyz=None, drv=None, show_progress=True,
     recx = np.asarray(prop8data["recx"], float).flatten()
     recy = np.asarray(prop8data["recy"], float).flatten()
     model = _resolve_model(prop8data)
+    jac_mode = "full"
+    if drv is not None and not (drv.has_loc and drv.moment_tensor):
+        jac_mode = "loc" if drv.has_loc else "mt"
     fwd, jacf = _forward_fns(nt, timestep,
                              prop8data.get("nk", 1024),
-                             prop8data.get("kmax", 2.5))
+                             prop8data.get("kmax", 2.5), jac_mode=jac_mode)
     m6 = np.asarray(Mxyz)[np.triu_indices(3)]
     params = jnp.asarray(np.concatenate([[x, y, z], m6]), jnp.float64)
     stx = jnp.asarray(recx, jnp.float64)
@@ -215,7 +238,17 @@ def prop8seis(x, y, z, prop8data, Mxyz=None, drv=None, show_progress=True,
     t = timestep * np.arange(nt)
     out = [t, s]
     if drv is not None:
-        jac = np.moveaxis(np.asarray(jacf(params, model, stx, sty)), -1, 1)
+        cols = np.moveaxis(np.asarray(jacf(params, model, stx, sty)), -1, 1)
+        # embed the restricted columns at their positions in the 9-wide
+        # (x, y, z, m6) parameter order _assemble_channels indexes
+        if jac_mode == "full":
+            jac = cols
+        else:
+            jac = np.zeros((s.shape[0], 9) + s.shape[1:], cols.dtype)
+            if jac_mode == "loc":
+                jac[:, :3] = cols
+            else:
+                jac[:, 3:] = cols
         out.append(_assemble_channels(jac, drv, _Stations(recx, recy, x, y)))
     if returndata:
         out += [_Source(x, y, z, Mxyz), _Stations(recx, recy, x, y)]
@@ -269,9 +302,11 @@ def _model_head(m_in, invopt, precon):
 
 
 def _forward_and_modelderiv(x, y, z, Mxyz, prop8data, loc, cmt, geometry):
-    """One forward + jacobian call; returns (t, seis_pred, d) where d is
-    the (nm, nr*nc*nt) model-derivative matrix in the (x, y, z[, 6 m6])
-    row order the objectives contract against (loc_cmt_util.py:226-236)."""
+    """One forward + jacobian call; returns (t, seis_pred, derivxyz, d)
+    where derivxyz is the (nm, nr, nc, nt) model-derivative array the
+    reference's returnseisd/returnderiv paths hand back, and d is its
+    (nm, nr*nc*nt) reshape in the (x, y, z[, 6 m6]) row order the
+    objectives contract against (loc_cmt_util.py:226-236)."""
     nt = np.shape(prop8data["obs_seis"])[-1]
     timestep = prop8data.get("timestep", 1.0)
     if geometry == "cartesian":
@@ -291,7 +326,7 @@ def _forward_and_modelderiv(x, y, z, Mxyz, prop8data, loc, cmt, geometry):
         derivxyz = np.array([deriv[:, drv.i_mt + _DIAGORDER[k]]
                              for k in range(6)])
         nm = 6
-    return t, seis_pred, derivxyz.reshape(nm, -1)
+    return t, seis_pred, derivxyz, derivxyz.reshape(nm, -1)
 
 
 def optfunc(m, optdata, returnseis=False, return2W=False, precon=True):
@@ -316,7 +351,7 @@ def optfunc_L2(m_in, optdata, returnseis=False, returnseisd=False,
     if not invopt["loc"] and not invopt["cmt"]:
         return 0.0, np.zeros_like(np.asarray(m_in, float))
     m, loc, cmt, x, y, z, Mxyz = _model_head(m_in, invopt, precon)
-    t, seis_pred, d = _forward_and_modelderiv(
+    t, seis_pred, derivxyz, d = _forward_and_modelderiv(
         x, y, z, Mxyz, prop8data, loc, cmt, geometry)
     dr = (seis_pred - seis_obs).flatten()
     mis = float(np.dot(dr, dr))
@@ -325,7 +360,9 @@ def optfunc_L2(m_in, optdata, returnseis=False, returnseisd=False,
     if returnseis:
         return mis, dmis, t, seis_pred
     if returnseisd:
-        return mis, dmis, t, seis_pred, d
+        # reference returns the 4-D (nm, nr, nc, nt) derivative array here
+        # (loc_cmt_util.py:180), not its flattened objective form
+        return mis, dmis, t, seis_pred, derivxyz
     if noderiv:
         return mis
     if invopt["precon"] and precon:
@@ -346,7 +383,7 @@ def optfunc_OT(m_in, optdata, returnseis=False, returnwobj=False,
     if not invopt["loc"] and not invopt["cmt"]:
         return 0.0, np.zeros_like(np.asarray(m_in, float))
     m, loc, cmt, x, y, z, Mxyz = _model_head(m_in, invopt, precon)
-    t, seis_pred, d = _forward_and_modelderiv(
+    t, seis_pred, derivxyz, d = _forward_and_modelderiv(
         x, y, z, Mxyz, prop8data, loc, cmt, geometry)
 
     nr, nc, ntw = seis_obs.shape
@@ -410,7 +447,9 @@ def optfunc_OT(m_in, optdata, returnseis=False, returnwobj=False,
     if noderiv:
         return mis
     if returnderiv:
-        return mis, dmis, d, drW
+        # reference: mis, dmis, derivxyz (nm, nr, nc, nt), dr (the
+        # dundu-scaled waveform derivative) — loc_cmt_util.py:304
+        return mis, dmis, derivxyz, drW
     if invopt["precon"] and precon:
         dmis = dmis * np.asarray(invopt["mscal"], float)
     return mis, dmis

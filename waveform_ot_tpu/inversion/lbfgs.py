@@ -29,6 +29,11 @@ class LBFGSResult(NamedTuple):
     fun: jax.Array
     grad_norm: jax.Array
     n_iter: jax.Array
+    # batched solver only: lanes frozen because the backtracking linesearch
+    # exhausted its trials without an acceptable step (e.g. the objective is
+    # non-finite around the iterate) — they did NOT converge to tol. The
+    # zoom path never freezes lanes, so it leaves this None.
+    ls_failed: jax.Array | None = None
 
 
 def minimize_lbfgs(fun: Callable, x0, max_iter: int = 200, tol: float = 1e-8,
@@ -92,6 +97,7 @@ class _BatchLBFGSState(NamedTuple):
     it: jax.Array       # ()
     n_iter: jax.Array   # (k,)      iterations taken per lane
     active: jax.Array   # (k,) bool
+    failed: jax.Array   # (k,) bool — frozen by linesearch failure, not tol
     n_ls: jax.Array     # ()        total linesearch trial rounds (stats)
 
 
@@ -137,6 +143,12 @@ def minimize_lbfgs_batched(fun: Callable, x0s, max_iter: int = 200,
     ``fun`` maps (n,) -> scalar; ``x0s`` is (k, n). Curvature-unsafe pairs
     (s.y <= 0, possible without a Wolfe condition) are skipped rather
     than stored, preserving positive-definiteness of the implicit Hessian.
+
+    A lane whose linesearch exhausts ``ls_max`` trials without an Armijo
+    acceptance (e.g. the objective is non-finite around the iterate) is
+    frozen at its current point and flagged in ``result.ls_failed`` — it
+    did NOT converge to tol, unlike the zoom path which keeps iterating
+    such lanes.
     """
     x0s = jnp.asarray(x0s)
     k, n = x0s.shape
@@ -146,6 +158,10 @@ def minimize_lbfgs_batched(fun: Callable, x0s, max_iter: int = 200,
 
     f0, g0 = vgbatch(x0s)
     gn0 = jnp.linalg.norm(g0, axis=-1)
+    # a lane that is non-finite at its start can never accept a step
+    # (NaN fails every Armijo comparison): mark it failed immediately
+    # instead of letting `gn0 >= tol` (False for NaN) report it converged
+    finite0 = jnp.isfinite(f0) & jnp.isfinite(gn0)
     st = _BatchLBFGSState(
         x=x0s, f=f0, g=g0,
         S=jnp.zeros((m, k, n), x0s.dtype),
@@ -153,7 +169,8 @@ def minimize_lbfgs_batched(fun: Callable, x0s, max_iter: int = 200,
         rho=jnp.zeros((m, k), x0s.dtype),
         gamma=1.0 / jnp.maximum(gn0, 1.0),
         it=jnp.asarray(0), n_iter=jnp.zeros((k,), jnp.int32),
-        active=gn0 >= tol, n_ls=jnp.asarray(0))
+        active=finite0 & (gn0 >= tol), failed=~finite0,
+        n_ls=jnp.asarray(0))
 
     def body(st: _BatchLBFGSState) -> _BatchLBFGSState:
         d = _two_loop(st.g, st.S, st.Y, st.rho, st.gamma)
@@ -220,17 +237,23 @@ def minimize_lbfgs_batched(fun: Callable, x0s, max_iter: int = 200,
         gamma2 = jnp.where(good, sy / jnp.maximum(yy, 1e-30), st.gamma)
 
         gn = jnp.linalg.norm(g_new, axis=-1)
-        still = st.active & moved & (gn >= tol)
+        converged = moved & jnp.isfinite(gn) & (gn < tol)
+        still = st.active & moved & jnp.isfinite(gn) & (gn >= tol)
+        # a lane leaving the active set any way other than convergence —
+        # linesearch exhausted, or a non-finite gradient at the accepted
+        # point — is a failure the caller must be able to see
         return _BatchLBFGSState(
             x=x_new, f=f_acc, g=g_new, S=S2, Y=Y2, rho=rho2, gamma=gamma2,
             it=st.it + 1, n_iter=st.n_iter + st.active.astype(jnp.int32),
-            active=still, n_ls=st.n_ls + trials)
+            active=still,
+            failed=st.failed | (st.active & ~still & ~converged),
+            n_ls=st.n_ls + trials)
 
     st = jax.lax.while_loop(
         lambda s: jnp.any(s.active) & (s.it < max_iter), body, st)
     return LBFGSResult(x=st.x, fun=st.f,
                        grad_norm=jnp.linalg.norm(st.g, axis=-1),
-                       n_iter=st.n_iter)
+                       n_iter=st.n_iter, ls_failed=st.failed)
 
 
 def minimize_multi_start_sharded(fun: Callable, x0s, mesh,
@@ -241,7 +264,7 @@ def minimize_multi_start_sharded(fun: Callable, x0s, mesh,
     over ``mesh`` and each device runs :func:`minimize_lbfgs_batched` on
     its local shard — zero inter-chip traffic, result fields stay sharded
     over the start axis. The scaling form of the Fig-12 repeat study for
-    start counts beyond one chip (k must divide the mesh size).
+    start counts beyond one chip (the mesh size must divide k).
 
     Per-shard early exit is strictly better than global: a device whose
     lanes all converge finishes its program early instead of waiting on
@@ -254,7 +277,8 @@ def minimize_multi_start_sharded(fun: Callable, x0s, mesh,
     f = jax.shard_map(
         local, mesh=mesh, in_specs=P(axis_name),
         out_specs=LBFGSResult(x=P(axis_name), fun=P(axis_name),
-                              grad_norm=P(axis_name), n_iter=P(axis_name)),
+                              grad_norm=P(axis_name), n_iter=P(axis_name),
+                              ls_failed=P(axis_name)),
         # the solver's custom-VJP objective defeats the static
         # varying-manual-axes inference (see parallel/grid_shard.py); the
         # outputs are genuinely per-lane (sharded), asserted by tests

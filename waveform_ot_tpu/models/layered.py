@@ -51,7 +51,11 @@ from waveform_ot_tpu.ops import ddfloat as _ddf
 # above, and a custom JVP from dJ_m/dx = (J_{m-1} - J_{m+1})/2.
 # ---------------------------------------------------------------------------
 
-_BESSEL_CROSSOVER = 14.0
+_BESSEL_CROSSOVER = 14.0       # float64: series/asymptotic switch point
+_BESSEL_CROSSOVER_F32 = 8.0    # float32: the ascending series loses
+# ~(x/2)^(2j)/(j!)^2 of cancellation headroom — at x~14 the intermediates
+# reach ~3e4, costing ~2e-3 absolute in f32, while the Hankel branch is
+# already f32-exact by x~8 (truncation <1e-6 for m<=4).
 _SERIES_TERMS = 36
 _ASYM_TERMS = 9
 
@@ -89,10 +93,11 @@ def _bessel_asym(m: int, x):
 
 
 def _bessel_raw(m: int, x):
-    xs = jnp.where(x < _BESSEL_CROSSOVER, x, 0.0)      # keep series finite
-    xa = jnp.maximum(x, _BESSEL_CROSSOVER)             # keep 1/x finite
-    return jnp.where(x < _BESSEL_CROSSOVER,
-                     _bessel_series(m, xs), _bessel_asym(m, xa))
+    xc = (_BESSEL_CROSSOVER_F32 if x.dtype == jnp.float32
+          else _BESSEL_CROSSOVER)
+    xs = jnp.where(x < xc, x, 0.0)                     # keep series finite
+    xa = jnp.maximum(x, xc)                            # keep 1/x finite
+    return jnp.where(x < xc, _bessel_series(m, xs), _bessel_asym(m, xa))
 
 
 @jax.custom_jvp

@@ -50,9 +50,10 @@ __all__ = [
     "hypot", "dd_abs",
 ]
 
-# Dekker split constant for float32 (2^12 + 1): splits a 24-bit
-# significand into two 12-bit halves whose products are exact in f32.
-_SPLIT_F32 = 4097.0
+# Dekker split constants (2^ceil(p/2) + 1): split a p-bit significand into
+# two halves whose products are exact in the base dtype.
+_SPLIT_F32 = 4097.0          # float32: p=24 -> 2^12 + 1
+_SPLIT_F64 = 134217729.0     # float64: p=53 -> 2^27 + 1
 
 
 def _two_sum(a, b):
@@ -71,12 +72,19 @@ def _quick_two_sum(a, b):
 
 
 def _two_prod(a, b):
-    """Dekker TwoProd: p + err == a * b exactly (FMA-free split form)."""
+    """Dekker TwoProd: p + err == a * b exactly (FMA-free split form).
+
+    The split constant is chosen per base dtype — a DD over float64
+    components (e.g. ``from_float(x, dtype=jnp.float64)`` on the CPU
+    oracle path) keeps the error-free contract instead of silently
+    running the 12-bit f32 split on 53-bit significands."""
+    _SPLIT = (_SPLIT_F64 if jnp.asarray(a).dtype == jnp.float64
+              else _SPLIT_F32)
     p = a * b
-    t = _SPLIT_F32 * a
+    t = _SPLIT * a
     ah = t - (t - a)
     al = a - ah
-    t = _SPLIT_F32 * b
+    t = _SPLIT * b
     bh = t - (t - b)
     bl = b - bh
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
