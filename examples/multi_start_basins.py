@@ -139,6 +139,9 @@ def main(nstarts: int = 16, nr: int = 8, cmt: bool = False,
             mrel = (np.abs(sol[:, 3:] - m_true_full[3:])
                     / np.abs(m_true_full[3:]).max()).max(axis=1)
             line += f", median CMT rel err = {np.median(mrel):.3f}"
+        nfail = int(np.sum(np.asarray(res.ls_failed)))
+        if nfail:
+            line += f", {nfail} linesearch-frozen lanes"
         print(line + ")")
 
 

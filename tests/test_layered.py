@@ -37,6 +37,18 @@ class TestBessel:
             np.testing.assert_allclose(ours[m], jv(m, np.asarray(x)),
                                        atol=5e-11)
 
+    def test_values_vs_scipy_f32(self):
+        """float32 path: the dtype-tuned crossover (8.0) keeps the series'
+        cancellation inside f32 headroom — ~7e-6 absolute worst-case
+        (the f64-tuned crossover at 14.0 cost ~2e-3 near x~14)."""
+        from scipy.special import jv
+
+        x64 = np.linspace(0.0, 1500.0, 15001)
+        ours = np.asarray(L.bessel_j0123(jnp.asarray(x64, jnp.float32)))
+        assert ours.dtype == np.float32
+        for m in range(4):
+            np.testing.assert_allclose(ours[m], jv(m, x64), atol=2e-5)
+
     def test_jvp_recurrence(self):
         from scipy.special import jvp as scipy_jvp
 
