@@ -402,3 +402,68 @@ class TestModuleUtilities:
             assert (tmp_path / f"{name}.png").stat().st_size > 0
         assert (tmp_path / "Marginal_u_x.png").exists()
         assert (tmp_path / "Marginals_and_fingerprint_x.pdf").exists()
+
+
+class TestFDHarnesses:
+    """The reference's private OTlib FD harnesses (_checkderivMarg /
+    _checkderivSliced, OTlib.py:303-393) and the SlicedWassersteinError
+    taxonomy entry (OTlib.py:67)."""
+
+    @pytest.fixture()
+    def pair2d(self, rng):
+        nx, ny = 6, 5
+        f = rng.random((nx, ny)) + 0.05
+        g = rng.random((nx, ny)) + 0.05
+        xa, xb = np.meshgrid(np.linspace(0, 1, ny), np.linspace(0, 1, nx))
+        pos = np.dstack((xb, xa))
+        src = compat.OTpdf((f, pos))
+        tgt = compat.OTpdf((g, pos))
+        tgt.setMarginals()
+        tgt.setSliced(5, (0.5, 0.5))
+        return src, tgt
+
+    def test_checkderivmarg_fd_matches_analytic(self, pair2d):
+        src, tgt = pair2d
+        wfd = compat._checkderivMarg(src, tgt, 1e-6)
+        # analytic derivative at the same (first above-floor) index
+        _, dWm, _ = compat.MargWasserstein(src, tgt, derivatives=True)
+        assert wfd is not None and not isinstance(wfd, tuple)
+        assert abs(wfd - np.asarray(dWm).flatten()[0]) < 1e-5
+
+    def test_checkderivmarg_returnmargw_and_floor(self, pair2d):
+        src, tgt = pair2d
+        wfd0, wfd1 = compat._checkderivMarg(src, tgt, 1e-6,
+                                            returnmargW=True)
+        _, dWm, _ = compat.MargWasserstein(src, tgt, derivatives=True,
+                                           returnmargW=True)
+        assert abs(wfd0 - np.asarray(dWm[0]).flatten()[0]) < 1e-5
+        assert abs(wfd1 - np.asarray(dWm[1]).flatten()[0]) < 1e-5
+        # a floor above every amplitude -> the reference's (None, None)
+        out = compat._checkderivMarg(src, tgt, 1e-6, dffloor=1e9)
+        assert out == (None, None)
+
+    def test_checkderivsliced_prints_and_returns_none(self, pair2d, capsys):
+        src, tgt = pair2d
+        assert compat._checkderivSliced(src, tgt, 1e-6, Nproj=5) is None
+        out = capsys.readouterr().out
+        assert "Sliced Wasserstein" in out
+        # one comparison line per source amplitude
+        assert out.count("plan") >= src.n
+
+    def test_checkderivmarg_live_parity(self, pair2d, reference_libs):
+        OT = reference_libs["OTlib"]
+        src, tgt = pair2d
+        rsrc = OT.OTpdf((np.asarray(src.pdf) * src.amp, np.asarray(src.x)))
+        rtgt = OT.OTpdf((np.asarray(tgt.pdf) * tgt.amp, np.asarray(tgt.x)))
+        rtgt.setMarginals()
+        ours = compat._checkderivMarg(src, tgt, 1e-6)
+        theirs = OT._checkderivMarg(rsrc, rtgt, 1e-6)
+        assert abs(ours - theirs) < 1e-7 * max(1.0, abs(theirs))
+
+    def test_sliced_wasserstein_error(self):
+        from waveform_ot_tpu.ops.errors import OTError, SlicedWassersteinError
+        from waveform_ot_tpu.ops.sliced import projection_angles
+
+        assert issubclass(SlicedWassersteinError, OTError)
+        with pytest.raises(SlicedWassersteinError):
+            projection_angles(0)

@@ -100,6 +100,83 @@ class TestRickerUtilParity:
         np.testing.assert_allclose(d_c, d_r, atol=1e-10)
         assert len(cru.Wdata) == 1          # history blackboard recorded
 
+    def test_calcwasser_old_parity(self, ru):
+        grid = (-2.0, 7.0, -2.0, 2.6, 40, 128)
+        t_o, w_o = ru.rickerwavelet(0.0, 1.6, 1.0, trange=[-2.0, 7.0])
+        t_p, w_p = ru.rickerwavelet(0.3, 1.4, 1.05, trange=[-2.0, 7.0])
+        _, obs_r = ru.BuildOTobjfromWaveform(t_o, w_o, grid, lambdav=0.03,
+                                             transform=True)
+        wf_r, pred_r = ru.BuildOTobjfromWaveform(t_p, w_p, grid,
+                                                 lambdav=0.03, deriv=True,
+                                                 transform=True)
+        _, obs_c = cru.BuildOTobjfromWaveform(t_o, w_o, grid, lambdav=0.03,
+                                              transform=True)
+        wf_c, pred_c = cru.BuildOTobjfromWaveform(t_p, w_p, grid,
+                                                  lambdav=0.03, deriv=True,
+                                                  transform=True)
+        w_r, dr_r, dg_r = ru.CalcWasserWaveform_old(pred_r, obs_r, wf_r,
+                                                    deriv=True)
+        w_c, dr_c, dg_c = cru.CalcWasserWaveform_old(pred_c, obs_c, wf_c,
+                                                     deriv=True)
+        assert abs(w_c - w_r) < 1e-10
+        np.testing.assert_allclose(dr_c, dr_r, atol=1e-10)
+        np.testing.assert_allclose(dg_c, dg_r, atol=1e-10)
+        assert abs(cru.CalcWasserWaveform_old(pred_c, obs_c, wf_c)
+                   - ru.CalcWasserWaveform_old(pred_r, obs_r, wf_r)) < 1e-10
+
+    def test_check_dwdufd_parity(self, ru):
+        """The end-to-end amplitude FD checker (ricker_util.py:554-573)."""
+        grid = (-2.0, 7.0, -2.0, 2.6, 24, 96)
+        t_o, w_o = ru.rickerwavelet(0.0, 1.6, 1.0, trange=[-2.0, 7.0])
+        t_p, w_p = ru.rickerwavelet(0.3, 1.4, 1.05, trange=[-2.0, 7.0])
+        _, obs_r = ru.BuildOTobjfromWaveform(t_o, w_o, grid, lambdav=0.03,
+                                             transform=True)
+        _, obs_c = cru.BuildOTobjfromWaveform(t_o, w_o, grid, lambdav=0.03,
+                                              transform=True)
+        i = int(np.argmax(np.abs(w_p)))
+        r = ru.check_dwduFD(i, t_p, w_p, 0.1, grid, 0.03, obs_r,
+                            transform=True)
+        c = cru.check_dwduFD(i, t_p, w_p, 0.1, grid, 0.03, obs_c,
+                             transform=True)
+        np.testing.assert_allclose(c, r, rtol=1e-6, atol=1e-9)
+
+    def test_check_dwdmfd_parity(self, ru):
+        """The model-parameter FD checker (ricker_util.py:576-606), both
+        returnmarg branches."""
+        grid = (-2.0, 7.0, -2.0, 2.6, 24, 96)
+        t_o, w_o = ru.rickerwavelet(0.0, 1.6, 1.0, trange=[-2.0, 7.0])
+        _, obs_r = ru.BuildOTobjfromWaveform(t_o, w_o, grid, lambdav=0.03,
+                                             transform=True)
+        _, obs_c = cru.BuildOTobjfromWaveform(t_o, w_o, grid, lambdav=0.03,
+                                              transform=True)
+        mref = np.array([0.3, 1.4, 1.05])
+        tp, wp = ru.rickerwavelet(*mref, trange=[-2.0, 7.0])
+        for k in range(3):
+            r = ru.check_dwdmFD(k, tp, wp, 0.01, mref, grid, 0.03, obs_r,
+                                [-2.0, 7.0], transform=True)
+            c = cru.check_dwdmFD(k, tp, wp, 0.01, mref, grid, 0.03, obs_c,
+                                 (-2.0, 7.0), transform=True)
+            np.testing.assert_allclose(c, r, rtol=1e-6, atol=1e-9)
+        r1 = ru.check_dwdmFD(0, tp, wp, 0.01, mref, grid, 0.03, obs_r,
+                             [-2.0, 7.0], transform=True, returnmarg=False)
+        c1 = cru.check_dwdmFD(0, tp, wp, 0.01, mref, grid, 0.03, obs_c,
+                              (-2.0, 7.0), transform=True, returnmarg=False)
+        np.testing.assert_allclose(c1, r1, rtol=1e-6, atol=1e-9)
+
+    def test_plotrickers_special_smoke(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+        t = np.linspace(-2.0, 7.0, 64)
+        plt.figure()
+        cru.plotrickers_special(t, np.sin(t), t, np.cos(t),
+                                tlim=(-2.0, 7.0), ulim=(-2.0, 2.0),
+                                ref=[t, 0.5 * np.sin(t)], xlab=True,
+                                offset="0.1", clean=True)
+        plt.savefig(tmp_path / "rs.png")
+        plt.close("all")
+        assert (tmp_path / "rs.png").stat().st_size > 0
+
 
 # ---------------------------------------------------------------------------
 # loc_cmt_util drop-in (compat_loc_cmt)

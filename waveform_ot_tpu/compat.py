@@ -144,6 +144,91 @@ def SlicedWasserstein(source: OTpdf, target: OTpdf, Nproj, distfunc="W2",
             for v in out]
 
 
+def _checkderivSliced(source: OTpdf, target: OTpdf, df, Nproj=10,
+                      distfunc="W2", verbose=False, memory=False):
+    """Reference-compatible sliced-Wasserstein FD harness
+    (OTlib.py:303-328): prints the analytic plan-derivative next to a
+    central difference for every source amplitude, returns None. The
+    perturbed evaluations rebuild an OTpdf per sample exactly like the
+    reference (functional FD checks live in ops/validate.check_grad)."""
+    f = source.pdf.reshape(source.n) * source.amp
+    fx = source.x
+    Wplan, dWplan = SlicedWasserstein(source, target, Nproj,
+                                      derivatives=True, distfunc=distfunc)
+    print("\n W2 from average plan: ", np.sqrt(Wplan))
+    print("\n Compare analytical and finite difference derivatives from "
+          "Sliced Wasserstein: \n")
+    print("I           d(W2)/df            Finite Diff \n")
+    for i in range(source.n):
+        fmin = np.copy(f)
+        fmin[i] = f[i] - df
+        sm = OTpdf((fmin.reshape((source.nx, source.ny)), fx))
+        w2m = SlicedWasserstein(sm, target, Nproj, distfunc=distfunc)[0]
+        fplu = np.copy(f)
+        fplu[i] = f[i] + df
+        sp = OTpdf((fplu.reshape((source.nx, source.ny)), fx))
+        w2p = SlicedWasserstein(sp, target, Nproj, distfunc=distfunc)[0]
+        wfd = (w2p - w2m) / (2 * df)
+        print(i, " :    plan  ", np.asarray(dWplan).flatten()[i], " ", wfd)
+    return
+
+
+def _checkderivMarg(source: OTpdf, target: OTpdf, df, distfunc="W2",
+                    verbose=False, memory=False, percent=False, ind=None,
+                    returnmargW=False, dffloor=None):
+    """Reference-compatible marginal-Wasserstein FD harness
+    (OTlib.py:330-393), including its quirks: returns at the FIRST index
+    whose amplitude clears ``dffloor`` (the reference's in-loop return),
+    (None, None) when no index qualifies, and the per-marginal /
+    summed-marginal split on ``returnmargW``."""
+    f = source.pdf.reshape(source.n) * source.amp
+    fx = source.x
+    Wpm = MargWasserstein(source, target, derivatives=True,
+                          distfunc=distfunc, returnmargW=returnmargW)
+    dWm = Wpm[1]
+    if verbose:
+        print("\n W2 from average marginal : ", np.sqrt(Wpm[0]))
+        print("\n Compare analytical and finite difference derivatives "
+              "from Marginal Wasserstein: \n")
+        print("I                     d(W2)/df            Finite Diff \n")
+    dfused = df
+    if dffloor is None:
+        dffloor = 0.0001 * np.max(f)
+    setofindices = range(source.n) if ind is None else ind
+    for i in setofindices:
+        if percent:
+            dfused = np.abs(f[i]) * df / 100.0
+        if not (np.abs(f[i]) > dffloor):
+            continue
+        fmin = np.copy(f)
+        fmin[i] = f[i] - dfused
+        sm = OTpdf((fmin.reshape((source.nx, source.ny)), fx))
+        fplu = np.copy(f)
+        fplu[i] = f[i] + dfused
+        sp = OTpdf((fplu.reshape((source.nx, source.ny)), fx))
+        if returnmargW:
+            w2m = MargWasserstein(sm, target, distfunc=distfunc,
+                                  returnmargW=True)[0]
+            w2p = MargWasserstein(sp, target, distfunc=distfunc,
+                                  returnmargW=True)[0]
+            wfd0 = (w2p[0] - w2m[0]) / (2 * dfused)
+            wfd1 = (w2p[1] - w2m[1]) / (2 * dfused)
+            if verbose:
+                print(i, " :     Marg t   ",
+                      np.asarray(dWm[0]).flatten()[i], " ", wfd0)
+                print(i, " :     Marg u   ",
+                      np.asarray(dWm[1]).flatten()[i], " ", wfd1)
+            return wfd0, wfd1
+        w2m = MargWasserstein(sm, target, distfunc=distfunc)[0]
+        w2p = MargWasserstein(sp, target, distfunc=distfunc)[0]
+        wfd = (w2p - w2m) / (2 * dfused)
+        if verbose:
+            print(i, " :     avg   ", np.asarray(dWm).flatten()[i],
+                  " ", wfd)
+        return wfd
+    return None, None
+
+
 def wasserNumInt(source: OTpdf, target: OTpdf):
     """Reference-compatible wasserNumInt (OTlib.py:854-874): brute-force
     (W1, W2^2) by inverse-CDF sampling. Validation oracle."""

@@ -166,6 +166,111 @@ def CalcWasserWaveform(wfsource, wftarget, wf, distfunc="W2", deriv=False,
     return w, wf.pdfd, dwg / scale
 
 
+def CalcWasserWaveform_old(wfsource, wftarget, wf, distfunc="W2",
+                           deriv=False, Nproj=10):
+    """The reference's deprecated averaged-marginal wrapper
+    (ricker_util.py:277-287): like :func:`CalcWasserWaveform` with
+    ``returnmarg=False`` but the window derivative is rescaled by the
+    window length only (no tan-theta factor). Kept for drop-in parity."""
+    if not deriv:
+        return MargWasserstein(wfsource, wftarget, distfunc=distfunc)[0]
+    w, dw, dwg = MargWasserstein(wfsource, wftarget, derivatives=True,
+                                 distfunc=distfunc)
+    wf.PDFderiv(chainmatrix=dw)
+    return w, wf.pdfd, dwg / (wf.tlim[1] - wf.tlim[0])
+
+
+# -- FD checkers (ricker_util.py:554-606) ------------------------------------
+
+
+def check_dwduFD(i, t, RF, dufd, grid, lambdav, wfobs_target,
+                 transform=False, theta=45.0):
+    """Central-difference d(Wt)/du_i, d(Wu)/du_i of the marginal
+    Wasserstein distances w.r.t. waveform amplitude ``RF[i]``
+    (reference check_dwduFD, ricker_util.py:554-573): perturb by
+    ``dufd * RF[i] / 100`` and rebuild the whole fingerprint/OT chain on
+    both sides."""
+    RFp = np.copy(np.asarray(RF, float))
+    dufdu = dufd * RFp[i] / 100.0
+    RFp[i] += dufdu
+    wfsp, wfsourcep = BuildOTobjfromWaveform(
+        t, RFp, grid, lambdav=lambdav, transform=transform, theta=theta)
+    w2tp, w2up = CalcWasserWaveform(wfsourcep, wfobs_target, wfsp,
+                                    distfunc="W2", returnmarg=True)[0]
+    RFm = np.copy(np.asarray(RF, float))
+    RFm[i] -= dufdu
+    wfsn, wfsourcen = BuildOTobjfromWaveform(
+        t, RFm, grid, lambdav=lambdav, transform=transform, theta=theta)
+    w2tn, w2un = CalcWasserWaveform(wfsourcen, wfobs_target, wfsn,
+                                    distfunc="W2", returnmarg=True)[0]
+    return ((w2tp - w2tn) / (2 * dufdu), (w2up - w2un) / (2 * dufdu))
+
+
+def check_dwdmFD(k, tpred, wpred, dm, mref, grid, lambdav, wfobs_target,
+                 trange, transform=False, returnmarg=True, theta=45.0):
+    """Central-difference derivative of the (marginal) Wasserstein misfit
+    w.r.t. Ricker model parameter ``mref[k]`` through the full
+    model -> wavelet -> fingerprint -> OT chain (reference check_dwdmFD,
+    ricker_util.py:576-606). Returns (fd_t, fd_u) under ``returnmarg``,
+    else the averaged fd."""
+
+    def _w_at(m):
+        tw, ww = rickerwavelet(m[0], m[1], m[2], trange=trange)
+        wfs, wfsource = BuildOTobjfromWaveform(
+            tw, ww, grid, lambdav=lambdav, transform=transform, theta=theta)
+        if returnmarg:
+            return CalcWasserWaveform(wfsource, wfobs_target, wfs,
+                                      distfunc="W2", returnmarg=True)[0]
+        return CalcWasserWaveform(wfsource, wfobs_target, wfs,
+                                  distfunc="W2")
+
+    m = np.copy(np.asarray(mref, float))
+    ds = dm * m[k]
+    m[k] += ds
+    wp = _w_at(m)
+    m = np.copy(np.asarray(mref, float))
+    m[k] -= ds
+    wn = _w_at(m)
+    if returnmarg:
+        return ((wp[0] - wn[0]) / (2 * ds), (wp[1] - wn[1]) / (2 * ds))
+    return (wp - wn) / (2 * ds)
+
+
+# -- special plot (ricker_util.py:133-166) -----------------------------------
+
+
+def plotrickers_special(t1, w1, t2, w2, tlim=(False, False),
+                        ulim=(False, False), clean=False,
+                        title="Ricker Wavelets", ref=[False, False],
+                        xlab=False, offset=""):
+    """Wavelet-pair overlay with the reference's exact styling switches
+    (ricker_util.py:133-159): optional offset label, grey reference trace,
+    tick-free 'clean' mode and the dotted zero line."""
+    from waveform_ot_tpu.viz import _plt
+
+    plt = _plt()
+    if offset == "":
+        plt.plot(t1, w1, lw=0.75)
+    else:
+        plt.plot(t1, w1, lw=0.75, label=offset)
+    plt.plot(t2, w2, lw=0.75)
+    plt.ylabel("Amplitude")
+    if xlab:
+        plt.xlabel("Time")
+    if tlim[0] is not False:
+        plt.xlim(tlim[0], tlim[1])
+    if ulim[0] is not False:
+        plt.ylim(ulim[0], ulim[1])
+    if type(ref[0]) is np.ndarray:
+        plt.plot(ref[0], ref[1], color="grey", lw=1.0)
+    if clean:
+        plt.tick_params(left=False, bottom=False, labelleft=False,
+                        labelbottom=False)
+    plt.plot([np.min((t1[0], t2[0], tlim[0])),
+              np.max((t1[-1], t2[-1], tlim[-1]))], [0.0, 0.0],
+             "k:", lw=0.5)
+
+
 # -- scipy objective (ricker_util.py:373-426) -------------------------------
 
 

@@ -60,6 +60,16 @@ class TargetSource2DShapeError(OTError):
         super().__init__(msg)
 
 
+class SlicedWassersteinError(OTError):
+    """Invalid parameters passed to a sliced-Wasserstein routine.
+
+    Reference analog: OTlib.py SlicedWassersteinError (OTlib.py:67) —
+    declared there for API completeness (the reference never raises it);
+    here :func:`waveform_ot_tpu.ops.sliced.projection_angles` raises it
+    for a non-positive projection count.
+    """
+
+
 class UnknownOTDistanceTypeError(OTError):
     """Unrecognized distance specification (expected 'W1'|'W2'|'W12'|array)."""
 

@@ -28,6 +28,11 @@ from waveform_ot_tpu.ops.wasser import (
 
 def projection_angles(nproj: int, dtype=jnp.float64) -> jax.Array:
     """Regularly spaced slice angles in (0.1745, pi) — OTlib.py:133-134."""
+    if int(nproj) < 1:
+        from waveform_ot_tpu.ops.errors import SlicedWassersteinError
+
+        raise SlicedWassersteinError(
+            f"nproj must be a positive integer, got {nproj!r}")
     return jnp.linspace(jnp.asarray(0.1745, dtype), jnp.asarray(jnp.pi, dtype),
                         nproj + 1)[:-1]
 
