@@ -15,6 +15,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -55,10 +56,13 @@ print(json.dumps({{"backend": jax.default_backend(), "v": float(v),
 """
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _run_template(template: str, platform_setup: str, env,
-                  timeout: int = 900) -> dict:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = template.format(repo=repo, platform_setup=platform_setup)
+                  timeout: float = 1800) -> dict:
+    code = template.format(repo=_repo_root(), platform_setup=platform_setup)
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=timeout)
     if out.returncode != 0:
@@ -96,17 +100,83 @@ def _tpu_reachable() -> bool:
     return _tpu_probe_result[0]
 
 
+# ---------------------------------------------------------------------------
+# Concurrent one-shot TPU runner.
+#
+# The spot-check programs each remote-compile on the axon tunnel, which on a
+# slow day takes many minutes per program — a flat per-test timeout fails
+# honest tests on cold-cache days (both r3 suite failures were exactly
+# this). All TPU templates are therefore launched CONCURRENTLY on first
+# access (the tunnel multiplexes processes; verified empirically) under ONE
+# shared session budget, their compiles landing in the shared persistent
+# cache (/tmp/wot_jax_cache). A template that fails concurrently gets one
+# sequential retry against the now-warm cache, so a transient contention
+# error cannot mask — and a genuine numerical mismatch still fails the
+# asserting test.
+# ---------------------------------------------------------------------------
+
+_TPU_SESSION_BUDGET_S = float(os.environ.get("WOT_TPU_SPOT_BUDGET_S", 2700))
+_tpu_results: dict = {}  # template name -> parsed dict | Exception
+
+
+def _all_templates() -> dict:
+    return {"pipeline": _PIPELINE, "loc": _LOC_PIPELINE,
+            "pallas": _PALLAS_EQ, "layered": _LAYERED,
+            "mesh": _TPU_MESH_SMOKE}
+
+
+def _prime_tpu_results() -> None:
+    t0 = time.monotonic()
+    procs = {}
+    for name, tpl in _all_templates().items():
+        code = tpl.format(repo=_repo_root(), platform_setup="")
+        procs[name] = subprocess.Popen(
+            [sys.executable, "-c", code], env=_tpu_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    deadline = t0 + _TPU_SESSION_BUDGET_S
+    for name, p in procs.items():
+        try:
+            out, err = p.communicate(
+                timeout=max(30.0, deadline - time.monotonic()))
+            if p.returncode != 0:
+                raise RuntimeError(err[-2000:])
+            _tpu_results[name] = json.loads(out.strip().splitlines()[-1])
+        except (RuntimeError, subprocess.TimeoutExpired,
+                json.JSONDecodeError, IndexError) as e:
+            if isinstance(e, subprocess.TimeoutExpired):
+                p.kill()
+                p.communicate()
+            # one sequential retry against the (partially) warm cache
+            try:
+                _tpu_results[name] = _run_template(
+                    _all_templates()[name], "", _tpu_env(),
+                    timeout=max(60.0, deadline - time.monotonic()))
+            except (RuntimeError, subprocess.TimeoutExpired,
+                    json.JSONDecodeError) as e2:
+                _tpu_results[name] = RuntimeError(
+                    f"concurrent run failed ({type(e).__name__}: "
+                    f"{str(e)[:800]}); warm-cache retry failed "
+                    f"({type(e2).__name__}: {str(e2)[:800]})")
+    print(f"\n[tpu spot checks] priming time "
+          f"{time.monotonic() - t0:.1f}s for {len(procs)} concurrent "
+          f"programs (budget {_TPU_SESSION_BUDGET_S:.0f}s)",
+          file=sys.stderr, flush=True)
+
+
 def _run_on_tpu(template: str) -> dict:
-    """Run ``template`` on the TPU backend in a fresh subprocess. Skips
-    only when the session-start probe found no TPU; any error after a
-    successful probe is a test FAILURE."""
+    """Result of ``template`` on the TPU backend. Skips only when the
+    session-start probe found no TPU; any error after a successful probe is
+    a test FAILURE. First access launches ALL spot-check programs
+    concurrently (see module note) and memoizes their results."""
     if not _tpu_reachable():
         pytest.skip("no TPU reachable in this environment")
-    try:
-        res = _run_template(template, "", _tpu_env())
-    except (RuntimeError, subprocess.TimeoutExpired) as e:
+    if not _tpu_results:
+        _prime_tpu_results()
+    name = next(n for n, t in _all_templates().items() if t is template)
+    res = _tpu_results[name]
+    if isinstance(res, Exception):
         pytest.fail(f"TPU was reachable at session start but the spot-check "
-                    f"subprocess failed: {e}")
+                    f"subprocess failed: {res}")
     if res["backend"] != "tpu":
         pytest.fail(f"TPU probe saw a TPU but the spot-check subprocess ran "
                     f"on {res['backend']!r}")
