@@ -1234,20 +1234,21 @@ def _finish_synthesis(spec_cz, om_np, nfft, nt, dt, stf, alpha_damp, t0,
     """Active-band spectra CZ (n_act, nr, 3) -> (nr, 3, nt) seismograms:
     zero-pad to the full rfft grid, apply the STF spectrum and origin-time
     shift, inverse FFT with damping removal, flip z-down -> z-up."""
-    if dtype != jnp.float64 and spec_cz.re.shape[0] >= 3:
-        # omega = 0 lane, float32 path: at omega_c = i*alpha the P-SV
-        # stack algebra's conditioning exceeds even double-float32 (the
-        # eigencolumns become exactly parallel; measured errors are O(1)
-        # and luck-of-rounding). Conjugate symmetry of a real signal's
-        # spectrum gives U(-conj(omega_c)) = conj(U), so Re U is EVEN and
-        # Im U is ODD in omega: U(0) is real and equals the even quadratic
-        # through lanes 1, 2. Measured reconstruction error ~5e-8 on the
-        # Fukuoka config — below the f32 quadrature noise floor, where the
-        # direct dd lane-0 is garbage. (The float64 path computes lane 0
-        # directly; f64 absorbs the conditioning.)
-        re0 = (4.0 * spec_cz.re[1] - spec_cz.re[2]) / 3.0
-        spec_cz = CZ(spec_cz.re.at[0].set(re0),
-                     spec_cz.im.at[0].set(0.0))
+    if dtype != jnp.float64:
+        # omega = 0 lane, float32 path: conjugate symmetry of a real
+        # signal's spectrum (U(-conj(omega_c)) = conj U) makes Im U ODD in
+        # omega, so Im U(0) = 0 exactly — pin it (the dd lane-0 im word is
+        # pure rounding noise). Re U(0) comes from the dd stack directly:
+        # with ops/ddfloat's sealed (fusion-consistent) arithmetic the
+        # compiled lane-0 response is good to ~2e-4 relative. (An earlier
+        # revision extrapolated Re U(0) as the even quadratic through
+        # lanes 1, 2 because the COMPILED dd lane-0 looked like garbage —
+        # root cause was the XLA fusion inconsistency fixed by
+        # ddfloat._seal, and the extrapolation's own truncation error,
+        # 5% of the lane, was the dominant e2e error of the whole f32
+        # forward: 1.9e-2 of peak, amplified ~43x by the step STF's DC
+        # pole. Direct dd lane-0 removes it.)
+        spec_cz = CZ(spec_cz.re, spec_cz.im.at[0].set(0.0))
     om = jnp.asarray(np.asarray(om_np, _np_dtype(dtype)))
     spec_act = spec_cz.to_complex(cdtype)
     nf = om.shape[0]
@@ -1397,7 +1398,7 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
     return tt, u
 
 
-def make_layered_forward(stations: StationSet,
+def make_layered_forward(stations: StationSet | None = None,
                          model: LayeredModel | None = None, nt: int = 61,
                          dt: float = 1.0, structured_vjp: bool = True,
                          **kw):
@@ -1406,6 +1407,15 @@ def make_layered_forward(stations: StationSet,
     ``forward(x, y, z, mxyz) -> (nr, 3, nt)``
     (inversion/loc_cmt.py predicted_seismograms). Extra keywords are passed
     to :func:`layered_seismograms` (nk, kmax, stf, alpha_damp, t0, ...).
+
+    ``stations=None`` returns the station-DYNAMIC form
+    ``forward(x, y, z, mxyz, stations) -> (nr, 3, nt)`` — stations enter as
+    a traced pytree argument (differentiable, with exact station-position
+    cotangents from the stage-B vjp), so the station axis can be sharded
+    over a device mesh: each device assembles only its local receivers'
+    Bessel synthesis while the station-independent stage A (the expensive
+    interface scans) is replicated by construction
+    (parallel tests / __graft_entry__.dryrun_multichip drive this form).
 
     ``structured_vjp=True`` (default) installs a custom VJP that exploits
     the synthesis structure instead of reverse-differentiating the whole
@@ -1424,12 +1434,17 @@ def make_layered_forward(stations: StationSet,
     if model is None:
         model = fukuoka_model()
 
-    def plain(x, y, z, mxyz):
-        return layered_seismograms(x, y, z, mxyz, stations, model=model,
+    def plain(x, y, z, mxyz, stns):
+        return layered_seismograms(x, y, z, mxyz, stns, model=model,
                                    nt=nt, dt=dt, **kw)[1]
 
+    def bind(fwd):
+        if stations is None:
+            return fwd
+        return lambda x, y, z, mxyz: fwd(x, y, z, mxyz, stations)
+
     if not structured_vjp:
-        return plain
+        return bind(plain)
 
     stf = kw.get("stf", ("clp_step", 0.05, 0.2))
     alpha_damp = kw.get("alpha_damp", 0.023)
@@ -1452,11 +1467,11 @@ def make_layered_forward(stations: StationSet,
                                      alpha_damp, free_surface)
                      for om_band, kind in _plan_bands(plan, dtype))
 
-    def _stage_b(ops_tuple, x, y, z_ng, a):
+    def _stage_b(ops_tuple, x, y, z_ng, a, stns):
         dtype = jnp.asarray(x).dtype
         cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         plan = _plan_for(dtype)
-        r, phi, rho_src = _source_geometry(x, y, z_ng, stations, model)
+        r, phi, rho_src = _source_geometry(x, y, z_ng, stns, model)
         parts = [
             _band_spectra(ops, a, plan.k_np, plan.dk, r, phi, rho_src,
                           om_band, kind, alpha_damp, dtype)
@@ -1469,10 +1484,10 @@ def make_layered_forward(stations: StationSet,
                                  stf, alpha_damp, t0, dtype, cdtype)
 
     @jax.custom_vjp
-    def forward(x, y, z, mxyz):
-        return plain(x, y, z, mxyz)
+    def forward(x, y, z, mxyz, stns):
+        return plain(x, y, z, mxyz, stns)
 
-    def _fwd(x, y, z, mxyz):
+    def _fwd(x, y, z, mxyz, stns):
         dtype = jnp.asarray(x).dtype
         a = _moment_coeffs(mxyz, dtype)
         ops = _stage_a(z, dtype)
@@ -1481,13 +1496,13 @@ def make_layered_forward(stations: StationSet,
         # a stop-gradient constant and its real gradient comes from the
         # stage-A JVP in _bwd
         z_ng = jax.lax.stop_gradient(z)
-        u, vjp_b = jax.vjp(_stage_b, ops, x, y, z_ng, a)
+        u, vjp_b = jax.vjp(_stage_b, ops, x, y, z_ng, a, stns)
         return u, (vjp_b, z, mxyz)
 
     def _bwd(res, g):
         vjp_b, z, mxyz = res
         dtype = jnp.asarray(z).dtype
-        g_ops, g_x, g_y, _, g_a = vjp_b(g)
+        g_ops, g_x, g_y, _, g_a, g_st = vjp_b(g)
         _, dops = jax.jvp(lambda zz: _stage_a(zz, dtype), (z,),
                           (jnp.ones_like(z),))
         g_z = sum(jnp.sum(gl * dl) for gl, dl
@@ -1495,7 +1510,7 @@ def make_layered_forward(stations: StationSet,
                          jax.tree_util.tree_leaves(dops)))
         _, vjp_a = jax.vjp(lambda mm: _moment_coeffs(mm, dtype), mxyz)
         (g_m,) = vjp_a(g_a)
-        return g_x, g_y, jnp.asarray(g_z, dtype), g_m
+        return g_x, g_y, jnp.asarray(g_z, dtype), g_m, g_st
 
     forward.defvjp(_fwd, _bwd)
-    return forward
+    return bind(forward)

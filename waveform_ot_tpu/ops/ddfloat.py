@@ -56,19 +56,47 @@ _SPLIT_F32 = 4097.0          # float32: p=24 -> 2^12 + 1
 _SPLIT_F64 = 134217729.0     # float64: p=53 -> 2^27 + 1
 
 
+def _seal(hi, lo):
+    """Fuse an (hi, lo) result pair into one compiler-opaque unit.
+
+    XLA's CPU fusion emitter splits a two-output compensated kernel into
+    several fusions and re-evaluates the shared subexpressions in each;
+    the duplicated evaluations can round differently, which silently
+    destroys the error-free invariant (measured: a single jitted DD
+    multiply loses its entire compensation, ~1e-8 relative instead of
+    ~2e-15, while the identical op-by-op eager program is bit-exact;
+    `--xla_disable_hlo_passes=fusion` also restores bit-exactness).
+    Stacking hi and lo forces ONE single-output fused kernel for the
+    whole pair, and the optimization barrier keeps the following slices
+    from being folded back through the stack. Every DD-producing public
+    op seals its result, so compiled (jit/scan/vmap) DD programs are
+    bit-identical to the eager reference on every backend."""
+    packed = jax.lax.optimization_barrier(jnp.stack([hi, lo]))
+    return packed[0], packed[1]
+
+
+def _pin(x):
+    """Pin a plain-float seed value to ONE evaluation (see _seal): an
+    optimization barrier stops XLA from duplicating its computation into
+    several fusions whose copies could be rewritten or rounded
+    differently — any such inconsistency between uses breaks the
+    compensated algorithms consuming the seed."""
+    return jax.lax.optimization_barrier(x)
+
+
 def _two_sum(a, b):
     """Knuth TwoSum: s + err == a + b exactly (any magnitudes)."""
     s = a + b
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
-    return s, err
+    return _seal(s, err)
 
 
 def _quick_two_sum(a, b):
     """Dekker FastTwoSum: requires |a| >= |b| (or a == 0)."""
     s = a + b
     err = b - (s - a)
-    return s, err
+    return _seal(s, err)
 
 
 def _two_prod(a, b):
@@ -88,7 +116,7 @@ def _two_prod(a, b):
     bh = t - (t - b)
     bl = b - bh
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, err
+    return _seal(p, err)
 
 
 class DD:
@@ -177,12 +205,13 @@ class DD:
         o = _promote(o, self)
         if o is NotImplemented:
             return NotImplemented
-        # long division with two refinement steps (full dd accuracy)
-        q1 = self.hi / o.hi
+        # long division with two refinement steps (full dd accuracy);
+        # quotient seeds pinned — see sqrt's _pin note
+        q1 = _pin(self.hi / o.hi)
         r = self - o * q1
-        q2 = r.hi / o.hi
+        q2 = _pin(r.hi / o.hi)
         r = r - o * q2
-        q3 = r.hi / o.hi
+        q3 = _pin(r.hi / o.hi)
         s, e = _quick_two_sum(q1, q2)
         return DD(s, e) + q3
 
@@ -351,7 +380,15 @@ def sqrt(d: DD) -> DD:
     method: one refined f32 rsqrt seed + one dd correction — full dd
     accuracy."""
     hi_safe = jnp.where(d.hi > 0, d.hi, 1.0)
-    x = 1.0 / jnp.sqrt(hi_safe)                       # ~f32-accurate rsqrt
+    # lax.rsqrt, NOT 1.0/jnp.sqrt: XLA duplicates this seed into several
+    # fusions and rewrites 1/sqrt -> rsqrt in only SOME copies; the copies
+    # then round differently and the downstream compensation silently
+    # breaks (measured: ga/gb lost full dd accuracy under jit, 1.6e-7 vs
+    # eager; optimization_barrier does not help — the CPU pipeline strips
+    # every barrier, 8 -> 0 in the optimized HLO). Writing rsqrt
+    # explicitly makes every duplicated copy the same computation; the
+    # Newton correction below absorbs the seed's own error either way.
+    x = jax.lax.rsqrt(hi_safe)
     ax = hi_safe * x                                  # ~sqrt(d), f32
     e = d - DD(*_two_prod(ax, ax))                    # d - ax^2, dd-exact
     r = DD(*_quick_two_sum(ax, e.hi * (x * 0.5)))
@@ -412,7 +449,7 @@ def exp(d: DD) -> DD:
     against O(1) terms long before 1e-24)."""
     ln2 = from_float64(math.log(2.0))
     inv_ln2 = 1.0 / math.log(2.0)
-    m = jnp.round(d.hi * inv_ln2)
+    m = _pin(jnp.round(d.hi * inv_ln2))
     r = d - ln2 * m                                   # |r| <= ln2/2
     # Horner: sum_{k<=N} r^k / k!
     acc = _dd_horner(r, [1.0 / math.factorial(kk)
@@ -425,7 +462,7 @@ def sincos(d: DD):
     ~1e-13 absolute for |d| <= ~1e3 (reduction loses log2|m| of the 49
     bits; the layered phase arguments are <= a few hundred)."""
     pio2 = from_float64(math.pi / 2.0)
-    m = jnp.round(d.hi * (2.0 / math.pi))
+    m = _pin(jnp.round(d.hi * (2.0 / math.pi)))
     r = d - pio2 * m                                  # |r| <= pi/4
     r2 = r * r
     # sin r = r * S(r^2), cos r = C(r^2)
