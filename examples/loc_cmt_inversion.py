@@ -88,14 +88,19 @@ def main(physics: str = "layered", grid: int = 7, nk: int = 384,
     print(f"physics={physics}  start: {np.asarray(m0)}  "
           f"true: {np.asarray(loc_true)}")
 
+    errs = {}
     for mistype in ("OT", "L2"):
         opts = InvOptions(loc=True, cmt=False, mistype=mistype)
         res = minimize_scipy(
             lambda m: loc_cmt_value_and_grad(m, prob, opts, cfg,
                                              forward=forward), m0)
-        err = np.linalg.norm(res.x - np.asarray(loc_true))
+        errs[mistype] = err = np.linalg.norm(res.x - np.asarray(loc_true))
         print(f"{mistype}: solution={np.round(res.x, 3)} |err|={err:.3f} "
               f"iters={res.nit} success={res.success}")
+    # the experiment's outcome (Figs 9-11): from this distant start the W2
+    # objective's broad valley recovers the source (L2's narrow basin may
+    # not — that contrast is the paper's point, so only OT is asserted)
+    assert errs["OT"] < 2.0, f"OT recovery failed: |err|={errs['OT']:.3f} km"
 
     # vmapped misfit surface scan over (x, y) at two depths ----------------
     opts = InvOptions(loc=True, cmt=False, mistype="OT")
@@ -118,6 +123,12 @@ def main(physics: str = "layered", grid: int = 7, nk: int = 384,
     print(f"steady state: {time.perf_counter()-t0:.3f} s")
     imin = int(jnp.argmin(vals))
     print(f"grid minimum at {np.round(np.asarray(ms[imin]), 2)}")
+    # the misfit surface's global grid minimum must sit within one grid
+    # cell of the true epicentre (Figs_9_10_11 cell 64's surface shape)
+    dx = float(xs[1] - xs[0])
+    assert abs(float(ms[imin, 0]) - float(loc_true[0])) <= dx + 1e-6 and \
+        abs(float(ms[imin, 1]) - float(loc_true[1])) <= dx + 1e-6, \
+        f"grid minimum {np.asarray(ms[imin])} far from {np.asarray(loc_true)}"
 
     if plot:
         from waveform_ot_tpu import viz

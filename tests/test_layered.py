@@ -223,24 +223,20 @@ class TestFukuokaForward:
 
 
 class TestMixedPrecisionStack:
-    """float32 inputs run the stack algebra on double-float32 pairs below
-    ``hp_below`` and plain f32 above (the TPU production path — no f64 in
-    the program at all); the result must track the float64 oracle within
-    the f32 assembly's error budget.
+    """float32 inputs run the stack algebra entirely on double-float32
+    pairs (the TPU production path — no f64 in the program at all); the
+    result must track the float64 oracle to the dd error budget.
 
-    That budget is set by the Bessel k-quadrature, NOT the stack algebra:
-    the oscillatory integrand's terms are ~1e3-1e4x the integral, so f32
-    rounding of the products leaves ~1e-8 absolute noise per frequency
-    lane (measured: per-lane spectral errors are IDENTICAL between the dd
-    and plain-f32 stacks at every non-degenerate lane — the stack
-    contributes nothing above the assembly floor). End-to-end that sums
-    to ~7e-8 absolute on the unit-moment Fukuoka config, ~1.3e-2 of the
-    peak (noise scales linearly with M, like the signal, so the relative
-    bound is scale-invariant). The tolerance below is 3x the measured
-    floor. For full-precision seismograms use float64 inputs (the CPU
-    oracle path). Context: the reference's experiments add 5-10%-of-peak
-    GP noise to observations (Figs_9_10_11 cell 25), so inversion-grade
-    physics is comfortably inside this budget."""
+    Measured on the Fukuoka config (nk=512): end-to-end ~2e-5 of peak
+    eager on CPU and 5.6e-6 on the TPU chip — dominated by the f32
+    Bessel assembly, with the dd stack contributing ~1e-4 relative only
+    at the degenerate omega=0 lane. (An earlier revision split the band
+    at hp_below=0.4 with a plain-f32 stack above and sat at ~1.3e-2 of
+    peak, blamed on the quadrature; the true causes were the omega=0
+    extrapolation workaround and XLA fusion breaking the compiled dd
+    compensation — see ops/ddfloat._seal. The split mode is kept as an
+    explicit hp_below option and is both slower and less accurate.)
+    The tolerances below leave ~50x margin over the measured floor."""
 
     ST32 = StationSet(x=jnp.asarray([10., 30., -15., 55.], jnp.float32),
                       y=jnp.asarray([-75., -77., -50., -26.], jnp.float32))
@@ -259,20 +255,18 @@ class TestMixedPrecisionStack:
         s32 = self._run(jnp.float32)
         s64 = self._run(jnp.float64)
         assert np.isfinite(s32).all()
-        assert np.abs(s32 - s64).max() <= 0.04 * np.abs(s64).max()
+        assert np.abs(s32 - s64).max() <= 1e-3 * np.abs(s64).max()
 
     def test_all_dd_stack_matches_f64_oracle(self):
-        """hp_below=inf runs EVERY lane's stack algebra on dd32 —
-        validating the dd arithmetic through the full band, not just the
-        low lanes. Must land on the same assembly-noise floor as the
-        mixed run (if the dd algebra itself were off, this would sit
-        far above it)."""
+        """hp_below=inf (also the default) runs EVERY lane's stack
+        algebra on dd32 — spelled out explicitly here so the contract
+        survives any future default change."""
         import math
 
         s_dd = self._run(jnp.float32, hp_below=math.inf)
         s64 = self._run(jnp.float64)
         assert np.isfinite(s_dd).all()
-        assert np.abs(s_dd - s64).max() <= 0.04 * np.abs(s64).max()
+        assert np.abs(s_dd - s64).max() <= 1e-3 * np.abs(s64).max()
 
     def test_f64_inputs_keep_full_f64_stack(self):
         """float64 inputs default to the all-f64 parity path: explicitly

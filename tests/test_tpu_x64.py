@@ -327,9 +327,9 @@ from waveform_ot_tpu.models.layered import (
     layered_model_from_table, layered_seismograms)
 from waveform_ot_tpu.models.seismo import StationSet, mxyz_from_upper
 
-# f32 inputs: the f-k stack algebra runs double-float32 below hp_below
-# and plain f32 above (ops/ddfloat.py) — no f64 or complex128 anywhere in
-# the compiled program, the TPU production path
+# f32 inputs: the f-k stack algebra runs entirely on double-float32
+# pairs (ops/ddfloat.py) — no f64 or complex128 anywhere in the compiled
+# program, the TPU production path
 model = layered_model_from_table([(3.0, 5.0, 2.9, 2.5),
                                   (0.0, 7.0, 4.0, 3.0)])
 stations = StationSet(x=jnp.asarray([12.0, -7.0], jnp.float32),
@@ -360,23 +360,21 @@ def test_layered_forward_on_tpu_matches_cpu():
     pyprop8-replacement physics (models/layered.py) — the dd32/f32
     band-split synthesis must lower for TPU with no f64 in the program.
 
-    Tolerances: the f32 Bessel quadrature's oscillatory cancellation
-    amplifies backend-specific f32 rounding (MXU vs CPU contraction
-    order, libm-vs-TPU transcendentals in the f32 band) to ~1e-3 of the
-    misfit value (measured 2e-3); direction of the gradient is the
-    optimization-relevant invariant."""
+    Tolerances: the sealed dd stack is backend-consistent; the residual
+    TPU-vs-CPU difference is f32 Bessel-assembly rounding (libm-vs-TPU
+    transcendentals, contraction order), well under 5e-3 of the value."""
     tpu, cpu = _spot_check(_LAYERED)
     assert np.isfinite(tpu["v"]) and np.all(np.isfinite(tpu["g"]))
     scale = max(abs(cpu["v"]), 1e-12)
-    assert abs(tpu["v"] - cpu["v"]) <= 1e-2 * scale, (tpu, cpu)
+    assert abs(tpu["v"] - cpu["v"]) <= 5e-3 * scale, (tpu, cpu)
     gref = np.asarray(cpu["g"])
     gdev_arr = np.asarray(tpu["g"]) - gref
-    assert np.abs(gdev_arr).max() <= 5e-2 * max(np.abs(gref).max(), 1e-12), \
+    assert np.abs(gdev_arr).max() <= 2e-2 * max(np.abs(gref).max(), 1e-12), \
         (tpu, cpu)
     cos = (np.asarray(tpu["g"]) @ gref /
            max(np.linalg.norm(tpu["g"]) * np.linalg.norm(gref), 1e-300))
-    assert cos > 0.97, (cos, tpu, cpu)
-    assert abs(tpu["snorm"] - cpu["snorm"]) <= 1e-2 * max(cpu["snorm"], 1e-12)
+    assert cos > 0.99, (cos, tpu, cpu)
+    assert abs(tpu["snorm"] - cpu["snorm"]) <= 5e-3 * max(cpu["snorm"], 1e-12)
 
 
 _TPU_MESH_SMOKE = r"""

@@ -1339,13 +1339,13 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
     above — the mode the whole-space parity tests use.
 
     Precision: the per-(omega, k) stack algebra needs ~2x-float32
-    precision ONLY at low frequency — the P-SV up/down eigenbasis
-    degenerates as omega -> 0 (the P and SV columns become parallel, the
-    same degeneracy that motivates pyprop8's minor-vector formulation),
-    and float32 turns the cancellation into NaN below |omega| ~ 0.1 rad/s
-    (measured: NaN at omega <= 0.06, 3.7e-3 rel error at 0.10, <= 3e-5
-    above 0.2 for the Fukuoka config). Frequencies below ``hp_below``
-    (rad/s) therefore run their stack algebra in a high-precision band:
+    precision — the P-SV up/down eigenbasis degenerates as omega -> 0
+    (the P and SV columns become parallel, the same degeneracy that
+    motivates pyprop8's minor-vector formulation), and float32 turns the
+    cancellation into NaN below |omega| ~ 0.1 rad/s, with ulp-level seed
+    errors (TPU divide/rsqrt are a few ulp off correctly-rounded)
+    amplified ~1e3-1e4x by the solve conditioning everywhere else.
+    The stack algebra therefore runs entirely in a high-precision kind:
 
       * float32 inputs (the TPU production path): double-float32 pairs
         (ops/ddfloat.py) — ~49-bit precision from plain f32 ops, no
@@ -1353,20 +1353,21 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
         both ~1000x the f32 op cost and miscompiles this program (NaN,
         hardware-bisected); dd32 has neither problem, and the identical
         dd32 path runs in the CPU test suite. Works WITHOUT x64 mode.
+        Measured on the Fukuoka config (nk=512, 11x3): end-to-end
+        5.6e-6 of peak vs the f64 oracle ON THE TPU CHIP, and 11x
+        FASTER than the earlier dd/f32 band-split revision (8.4 ms vs
+        94 ms forward) — the "cheap" f32 band's HIGHEST-precision tiny
+        batched matmuls were the runtime bottleneck on the MXU, while
+        the dd path is explicit VPU elementwise arithmetic.
       * float64 inputs: float64 pairs — the CPU parity/oracle path
         (requires jax_enable_x64).
 
-    Default ``hp_below``: 0.4 rad/s for float32 inputs, +inf for float64
-    inputs (full-f64 everywhere). The Bessel assembly and FFT synthesis
-    always run in the working dtype. Float32 accuracy is set by the f32
-    Bessel k-quadrature (oscillatory cancellation ~1e3-1e4x leaves
-    ~1e-8 absolute noise per frequency lane), NOT by the stack algebra:
-    measured end-to-end ~7e-8 absolute / ~1.3e-2 of peak on the
-    unit-moment Fukuoka config, scaling linearly with the moment like the
-    signal itself — inversion-grade (the reference adds 5-10%-of-peak GP
-    noise to its observations), not oracle-grade; use float64 inputs for
-    parity work. The omega = 0 lane is reconstructed from conjugate
-    symmetry on the float32 path (see _finish_synthesis).
+    ``hp_below`` (rad/s) optionally confines the high-precision kind to
+    |omega| < hp_below with a plain-f32 stack above — the historical
+    band-split mode, kept for experiments (default: +inf, everything
+    high-precision; the split is both slower and ~250x less accurate on
+    TPU). The Bessel assembly and FFT synthesis always run in the
+    working dtype. Use float64 inputs for <=1e-8 parity work.
     """
     if model is None:
         model = fukuoka_model()
@@ -1377,7 +1378,7 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
             "jax.config.update('jax_enable_x64', True); use float32 "
             "inputs for the x64-free dd32 path")
     if hp_below is None:
-        hp_below = math.inf if dtype == jnp.float64 else 0.4
+        hp_below = math.inf
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     plan = _synth_plan(nt, dt, pad, stf, nk, kmax, hp_below)
     a = _moment_coeffs(mxyz, dtype)
@@ -1458,7 +1459,7 @@ def make_layered_forward(stations: StationSet | None = None,
     def _plan_for(dtype):
         hp = hp_below
         if hp is None:
-            hp = math.inf if dtype == jnp.float64 else 0.4
+            hp = math.inf
         return _synth_plan(nt, dt, pad, stf, nk, kmax, hp)
 
     def _stage_a(z, dtype):
