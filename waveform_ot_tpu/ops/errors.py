@@ -115,3 +115,19 @@ class POTLibraryError(OTError):
 
     def __init__(self):
         super().__init__("POT library is not installed")
+
+
+# -- reference-spelling aliases ---------------------------------------------
+# The reference declares these names with different casing/typos
+# (OTlib.py:24 `Error`, OTlib.py:75 `POTlibraryError`,
+# FingerprintLib.py:29 `WaveformPFderivError` [sic],
+# FingerprintLib.py:41 `FMMlibraryError`). Migrating code catches the
+# reference spellings, so both must resolve to the same classes —
+# `except fp.WaveformPFderivError` must not raise AttributeError. The
+# compat modules re-export the full set; tests/test_compat.py's
+# reference-name sweep machine-checks every public reference name.
+
+Error = OTError
+POTlibraryError = POTLibraryError
+WaveformPFderivError = WaveformFPderivError
+FMMlibraryError = FMMLibraryError
