@@ -359,30 +359,36 @@ print(json.dumps({{"backend": jax.default_backend(), "v": float(v),
 @pytest.mark.tpu_x64
 def test_layered_forward_on_tpu_matches_cpu():
     """The layered f-k forward + gradient ON THE REAL CHIP (f32 all-dd32
-    production path) vs the FLOAT64 CPU oracle of the same problem.
-    Guards both TPU-executability (no f64 in the compiled program) and
-    end-to-end accuracy of the sealed dd stack on hardware.
+    production path, tuple-sealed on TPU) vs the FLOAT64 CPU oracle of
+    the same problem. Guards both TPU-executability (no f64 in the
+    compiled program) and end-to-end accuracy of the sealed dd stack on
+    hardware.
 
-    Tolerances: the big-config e2e deviation measured 5.6e-6 of peak
-    (BASELINE.md); 2e-3 on the seismograms leaves a wide margin while
-    still catching any compiled-dd corruption (the unsealed program
-    measured 7e-2). The weighted-sum objective value nearly cancels, so
-    it is compared on the seismogram scale, not its own."""
+    Tolerances sit a ~4x margin above the MEASURED clean floor of THIS
+    config (round 5, tuple seal: seismograms 7.1e-5 of peak — this
+    small-signal config peaks at ~1.6e-5, so the f32 absolute floor is
+    relatively larger than the production config's 2.9e-6 — value
+    1.7e-6 of snorm, gradient 2.0e-3 max-relative, cosine 0.999998)
+    and ~10-1000x BELOW the corruption signal (the unsealed program
+    measures 4.3e-2 on seismograms / 7e-2 on gradients): a regression
+    losing even part of the dd compensation fails loudly. The
+    weighted-sum objective value nearly cancels, so it is compared on
+    the seismogram scale, not its own."""
     tpu, cpu = _spot_check(_LAYERED)
     assert np.isfinite(tpu["v"]) and np.all(np.isfinite(tpu["g"]))
     s_tpu = np.asarray(tpu["s"])
     s_cpu = np.asarray(cpu["s"])
     speak = max(np.abs(s_cpu).max(), 1e-12)
-    assert np.abs(s_tpu - s_cpu).max() <= 2e-3 * speak, (tpu, cpu)
-    assert abs(tpu["v"] - cpu["v"]) <= 1e-2 * max(cpu["snorm"], 1e-12), \
+    assert np.abs(s_tpu - s_cpu).max() <= 3e-4 * speak, (tpu, cpu)
+    assert abs(tpu["v"] - cpu["v"]) <= 1e-4 * max(cpu["snorm"], 1e-12), \
         (tpu, cpu)
     gref = np.asarray(cpu["g"])
     gdev_arr = np.asarray(tpu["g"]) - gref
-    assert np.abs(gdev_arr).max() <= 5e-2 * max(np.abs(gref).max(), 1e-12), \
+    assert np.abs(gdev_arr).max() <= 8e-3 * max(np.abs(gref).max(), 1e-12), \
         (tpu, cpu)
     cos = (np.asarray(tpu["g"]) @ gref /
            max(np.linalg.norm(tpu["g"]) * np.linalg.norm(gref), 1e-300))
-    assert cos > 0.98, (cos, tpu, cpu)
+    assert cos > 0.9995, (cos, tpu, cpu)
 
 
 _TPU_MESH_SMOKE = r"""
@@ -479,6 +485,47 @@ jax.block_until_ready((v2, g2))
 out["dpsp_value"] = float(v2)
 out["dpsp_finite"] = bool(np.isfinite(float(v2))
                           and np.all(np.isfinite(np.asarray(g2))))
+
+# 4) LAYERED station-sharded value+grad lowered for the REAL TPU backend:
+# GSPMD + the sealed all-dd32 Fukuoka stack + the station-DYNAMIC forward
+# + the production (pallas) fingerprint impl in one program — the
+# composition the virtual-CPU tests cannot certify (they run impl='jnp'
+# with CPU-mode seals).
+from waveform_ot_tpu.inversion import TraceConfig, build_loc_cmt_problem
+from waveform_ot_tpu.inversion.loc_cmt import loc_cmt_misfit
+from waveform_ot_tpu.models import (
+    StationSet, make_layered_forward, moment_tensor_from_sdr)
+from waveform_ot_tpu.models.layered import fukuoka_model
+
+nrl, ntl, nkl = 2, 16, 24
+angl = np.linspace(0, 2 * np.pi, nrl, endpoint=False)
+lstations = StationSet(x=jnp.asarray(30.0 * np.cos(angl), jnp.float32),
+                       y=jnp.asarray(30.0 * np.sin(angl), jnp.float32))
+lmxyz = moment_tensor_from_sdr(30.0, 60.0, 45.0, m0=5.0e6).astype(
+    jnp.float32)
+lfwd = make_layered_forward(model=fukuoka_model(jnp.float32), nt=ntl,
+                            dt=1.0, nk=nkl, kmax=1.0)
+lloc = jnp.asarray([2.0, -1.5, 9.0], jnp.float32)
+ls = jax.jit(lfwd)(lloc[0], lloc[1], lloc[2], lmxyz, lstations)
+lobs = ls + 0.002 * float(jnp.max(jnp.abs(ls))) * jnp.asarray(
+    np.random.default_rng(0).standard_normal(ls.shape), jnp.float32)
+lcfg = TraceConfig(nu=15, ntg=ntl, lambdav=0.04, q=None, p=2)
+lprob = build_loc_cmt_problem(jnp.arange(ntl, dtype=jnp.float32), lobs,
+                              lstations, lcfg, mxyz_fixed=lmxyz,
+                              impl="auto")
+lprob = shard_leading_axis(lprob, mesh)
+
+def lobj(m, prob):
+    fwd = lambda x, y, z, mx: lfwd(x, y, z, mx, prob.stations)
+    return loc_cmt_misfit(m, prob, opts, lcfg, forward=fwd, impl="auto")
+
+lv, lg = jax.jit(jax.value_and_grad(lobj))(
+    replicate(lloc + jnp.asarray([1.0, -0.5, 0.5], jnp.float32), mesh),
+    lprob)
+jax.block_until_ready((lv, lg))
+out["layered_value"] = float(lv)
+out["layered_finite"] = bool(np.isfinite(float(lv))
+                             and np.all(np.isfinite(np.asarray(lg))))
 print(json.dumps(out))
 """
 
@@ -488,11 +535,15 @@ def test_sharded_programs_compile_on_tpu_mesh():
     """shard_map + custom-VJP solver + Pallas kernel lowered for the REAL
     TPU backend on a one-device mesh (all other sharding validation runs on
     virtual CPU devices with impl='jnp'): the DP training step, the
-    sequence-parallel grid program, and the composed dp x sp program."""
+    sequence-parallel grid program, the composed dp x sp program, and the
+    LAYERED station-sharded objective (GSPMD + sealed dd stack +
+    station-dynamic Fukuoka forward + Pallas fingerprints lowered
+    together for the chip)."""
     res = _run_on_tpu(_TPU_MESH_SMOKE)
     assert res["dp_finite"], res
     assert res["sp_finite"], res
     assert res["dpsp_finite"], res
+    assert res["layered_finite"], res
 
 
 @pytest.mark.tpu_x64

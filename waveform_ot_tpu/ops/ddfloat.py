@@ -47,13 +47,35 @@ __all__ = [
     "DD", "from_float", "from_float64", "to_float", "const",
     "zeros_like", "ones_like", "full_like", "where", "stack",
     "concatenate", "take", "broadcast_to", "sqrt", "exp", "sincos",
-    "hypot", "dd_abs",
+    "hypot", "dd_abs", "set_seal_mode",
 ]
 
 # Dekker split constants (2^ceil(p/2) + 1): split a p-bit significand into
 # two halves whose products are exact in the base dtype.
 _SPLIT_F32 = 4097.0          # float32: p=24 -> 2^12 + 1
 _SPLIT_F64 = 134217729.0     # float64: p=53 -> 2^27 + 1
+
+
+_SEAL_MODE_OVERRIDE: str | None = None  # None = per-backend auto
+
+
+def set_seal_mode(mode: str | None) -> None:
+    """Force the seal strategy: 'stack', 'tuple', 'none', or None (auto:
+    'tuple' on TPU, 'stack' elsewhere). Takes effect at TRACE time — call
+    before building/jitting any DD program (already-traced programs keep
+    the mode they were traced with). Exposed for the seal-mode
+    experiments recorded in BASELINE.md; production code should leave
+    the auto selection alone."""
+    global _SEAL_MODE_OVERRIDE
+    if mode not in (None, "stack", "tuple", "none"):
+        raise ValueError(f"unknown seal mode {mode!r}")
+    _SEAL_MODE_OVERRIDE = mode
+
+
+def _seal_mode() -> str:
+    if _SEAL_MODE_OVERRIDE is not None:
+        return _SEAL_MODE_OVERRIDE
+    return "tuple" if jax.default_backend() == "tpu" else "stack"
 
 
 def _seal(hi, lo):
@@ -70,7 +92,25 @@ def _seal(hi, lo):
     whole pair, and the optimization barrier keeps the following slices
     from being folded back through the stack. Every DD-producing public
     op seals its result, so compiled (jit/scan/vmap) DD programs are
-    bit-identical to the eager reference on every backend."""
+    bit-identical to the eager reference on every backend.
+
+    Backend selection (see set_seal_mode): the CPU pipeline STRIPS
+    optimization barriers, so only the materialized stack protects it —
+    but the stack is pure overhead on TPU, where barriers are honored
+    and each stack lowers to a real layout copy (measured: ~20 ms of
+    the 40 ms layered-flagship device time, BASELINE.md round-4
+    profile). On TPU the pair is therefore sealed as a two-operand
+    barrier with NO materialization ('tuple' mode): the barrier keeps
+    (hi, lo) one fusion unit without moving any bytes. Measured
+    equivalent to 'stack' on the chip (layered Fukuoka nk=512 forward
+    vs the f64 CPU oracle — see BASELINE.md seal-mode table) and ~2x
+    faster end-to-end. 'none' (no seal at all) corrupts on BOTH
+    backends and exists only as the experiment control."""
+    mode = _seal_mode()
+    if mode == "tuple":
+        return jax.lax.optimization_barrier((hi, lo))
+    if mode == "none":
+        return hi, lo
     packed = jax.lax.optimization_barrier(jnp.stack([hi, lo]))
     return packed[0], packed[1]
 
