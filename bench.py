@@ -21,6 +21,11 @@ this host's CPU).
     serial scipy inversions (baseline: measured nfev x per-call cost);
   * 800x600 fingerprint density (FingerprintLib __main__ demo scale),
     vs the measured reference wdist(deriv=True) wall-clock;
+  * LAYERED misfit grid scan + LAYERED 64-start study — the same two
+    flagship workloads run THROUGH the six-layer Fukuoka f-k physics
+    (the reference's actual cell-64/Fig-12 jobs; the scan uses the
+    depth-amortized stage-A path, inversion/loc_cmt.layered_misfit_grid),
+    vs the framework's own f64 CPU single-core objective;
   * f32 deviation — relative value/gradient deviation of the f32 pipeline
     vs a float64 CPU oracle run of the same flagship problem (SURVEY.md
     section 7 hard part #2).
@@ -196,9 +201,27 @@ def bench_layered(impl: str, n_iter: int):
     import jax
     import jax.numpy as jnp
 
+    from waveform_ot_tpu.inversion import loc_cmt_value_and_grad
+
+    loc, mxyz, cfg, prob, opts, forward = _build_layered_problem(impl)
+    m = loc + jnp.asarray([4.0, -3.0, 2.0], jnp.float32)
+    fn = jax.jit(lambda mm, pp: loc_cmt_value_and_grad(
+        mm, pp, opts, cfg, forward=forward, impl=impl))
+    per_call = _time(fn, (m, prob), n_iter)
+    v, g = fn(m, prob)
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+    return per_call
+
+
+def _build_layered_problem(impl: str):
+    """The Figs 9-11 flagship configuration: six-layer Fukuoka model,
+    11 stations x 3 comps, nt=61, nk=512 — shared by the layered,
+    layered_scan and layered_ms stages."""
+    import jax
+    import jax.numpy as jnp
+
     from waveform_ot_tpu.inversion import (
         InvOptions, TraceConfig, build_loc_cmt_problem,
-        loc_cmt_value_and_grad,
     )
     from waveform_ot_tpu.models import (
         StationSet, fukuoka_model, make_layered_forward,
@@ -225,13 +248,78 @@ def bench_layered(impl: str, n_iter: int):
     prob = build_loc_cmt_problem(t, obs, stations, cfg, mxyz_fixed=mxyz,
                                  impl=impl)
     opts = InvOptions(loc=True, cmt=False, mistype="OT")
-    m = loc + jnp.asarray([4.0, -3.0, 2.0], jnp.float32)
-    fn = jax.jit(lambda mm, pp: loc_cmt_value_and_grad(
-        mm, pp, opts, cfg, forward=forward, impl=impl))
-    per_call = _time(fn, (m, prob), n_iter)
-    v, g = fn(m, prob)
-    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
-    return per_call
+    return loc, mxyz, cfg, prob, opts, forward
+
+
+def bench_layered_scan(impl: str, n_iter: int):
+    """The Figs_9_10_11 cell-64 workload THROUGH THE LAYERED PHYSICS:
+    the 21x21x4 = 1,764-node misfit surface (value + gradient per node)
+    over the six-layer Fukuoka model — the exact job the reference caches
+    to pickle because it is slow (SURVEY.md 3.5). Runs the
+    depth-amortized scan (inversion/loc_cmt.layered_misfit_grid): stage A
+    once per depth slice, stage B + OT per node — the measured evidence
+    for the stage-A-amortization design claim. Baseline: the framework's
+    own f64 CPU single-core objective (1.607 s/call x 1,764 nodes; no
+    pyprop8 baseline exists)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveform_ot_tpu.inversion import layered_misfit_grid
+    from waveform_ot_tpu.models import fukuoka_model, make_layered_stages
+
+    loc, mxyz, cfg, prob, opts, _ = _build_layered_problem(impl)
+    stages = make_layered_stages(model=fukuoka_model(), nt=61, dt=1.0,
+                                 nk=512, kmax=2.0)
+    zs = jnp.asarray(np.linspace(4, 22, 4), jnp.float32)
+    xg = np.linspace(-20, 20, 21)
+    X, Y = np.meshgrid(xg, xg, indexing="ij")
+    xy = jnp.asarray(np.stack([X.ravel(), Y.ravel()], 1), jnp.float32)
+    fn = jax.jit(lambda zz, xx, pp: layered_misfit_grid(
+        zz, xx, pp, opts, cfg, stages, impl=impl, xy_chunk=63))
+    per_scan = _time(fn, (zs, xy, prob), n_iter)
+    vals, grads = fn(zs, xy, prob)
+    assert np.all(np.isfinite(np.asarray(vals)))
+    assert np.all(np.isfinite(np.asarray(grads)))
+    return per_scan, int(vals.size)
+
+
+def bench_layered_multistart(impl: str, n_iter: int):
+    """The Fig_12 repeat-convergence study THROUGH THE LAYERED PHYSICS:
+    64 independent source-location inversions from random starts as one
+    HOST-ORCHESTRATED batched L-BFGS over the six-layer Fukuoka model
+    (the reference: 64 serial scipy inversions of its pyprop8 objective).
+    Host-orchestrated because the all-on-device while_loop form inlines
+    ~3 copies of the dd objective graph and crashes the remote TPU
+    compiler (5.9 MB MLIR, SIGSEGV — lbfgs.minimize_lbfgs_batched_host
+    docstring); the device still evaluates all 64 lanes as one batched
+    program per step. Baseline: the framework's own f64 CPU single-core
+    objective cost x the reference's measured nfev per inversion."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveform_ot_tpu.inversion.lbfgs import minimize_lbfgs_batched_host
+    from waveform_ot_tpu.inversion.loc_cmt import loc_cmt_misfit
+
+    loc, mxyz, cfg, prob, opts, forward = _build_layered_problem(impl)
+    rng = np.random.default_rng(1)
+    starts = jnp.asarray(np.asarray(loc) + rng.uniform(-15, 15, size=(64, 3)),
+                         jnp.float32)
+
+    def fobj(m):
+        return loc_cmt_misfit(m, prob, opts, cfg, forward=forward,
+                              impl=impl)
+
+    run = lambda xs: minimize_lbfgs_batched_host(fobj, xs, max_iter=30,
+                                                 tol=3e-5)
+    per_study = _time(run, (starts,), n_iter)
+    res = run(starts)
+    err = np.asarray(jnp.linalg.norm(res.x - jnp.asarray(loc), axis=1))
+    assert np.all(np.isfinite(err))
+    # W2's convergence basin through the layered physics (the Fig-12
+    # claim): the large majority of +-15 km starts must reach the source
+    frac = float(np.mean(err < 1.0))
+    assert frac >= 0.75, f"only {frac:.0%} of starts converged: {err}"
+    return per_study, starts.shape[0]
 
 
 def bench_big_fingerprint(n_iter: int):
@@ -339,6 +427,12 @@ def run_stage(name: str) -> dict:
         # a different HLO that misses the compile cache. Own subprocess
         # so the other f32 stages are not contaminated.
         return {"per": bench_layered(impl, 10 if on_tpu else 1)}
+    if name == "layered_scan":
+        per, n_nodes = bench_layered_scan(impl, 2 if on_tpu else 1)
+        return {"per": per, "n_nodes": n_nodes}
+    if name == "layered_ms":
+        per, n_starts = bench_layered_multistart(impl, 1)
+        return {"per": per, "n_starts": n_starts}
     if name == "f32dev":
         dv, dg = f32_deviation(impl)
         return {"dv": dv, "dg": dg}
@@ -413,8 +507,20 @@ def _emit(results: dict, baseline: dict, status: dict) -> None:
     per_bigfp, vs_bigfp = scaled("bigfp", "per", 1e3, ref_bigfp)
     # no pyprop8 baseline exists (uninstallable); vs_baseline is the
     # framework's OWN f64 CPU oracle path on one core (BASELINE.md)
-    per_layered, vs_layered = scaled(
-        "layered", "per", 1e3, baseline.get("self_f64_layered_1core_s"), 2)
+    self_layered = baseline.get("self_f64_layered_1core_s")
+    per_layered, vs_layered = scaled("layered", "per", 1e3, self_layered, 2)
+    if results.get("layered_scan") and self_layered:
+        n_nodes = results["layered_scan"]["n_nodes"]
+        per_lscan, vs_lscan = scaled("layered_scan", "per", 1e3,
+                                     self_layered * n_nodes, 1)
+    else:
+        per_lscan = vs_lscan = None
+    if results.get("layered_ms") and self_layered:
+        ref_lms = (self_layered * baseline["ref_invert_nfev"]
+                   * results["layered_ms"]["n_starts"])
+        per_lms, vs_lms = scaled("layered_ms", "per", 1e3, ref_lms, 1)
+    else:
+        per_lms = vs_lms = None
     dev = results.get("f32dev")
     dv = float(f"{dev['dv']:.3e}") if dev else None
     dg = float(f"{dev['dg']:.3e}") if dev else None
@@ -433,6 +539,12 @@ def _emit(results: dict, baseline: dict, status: dict) -> None:
         row("layered-physics W2 misfit+grad (6-layer Fukuoka f-k), "
             "11 stations x 3 comps [vs own f64 CPU 1-core oracle]", "ms",
             per_layered, vs_layered),
+        row("LAYERED misfit grid scan 21x21x4 (1764 nodes), depth-"
+            "amortized stage A [vs own f64 CPU 1-core oracle]", "ms",
+            per_lscan, vs_lscan),
+        row("LAYERED 64-start repeat study, on-device LBFGS "
+            "[vs own f64 CPU 1-core oracle x ref nfev]", "ms",
+            per_lms, vs_lms),
         row("f32 vs f64 relative deviation (value)", "rel", dv, None),
         row("f32 vs f64 relative deviation (grad, max)", "rel", dg, None),
     ]
@@ -460,7 +572,7 @@ def main() -> None:
     # last so a slow remote-compile day costs the expensive extras, never
     # the headline.
     stages = ["loc64", "ricker", "bigfp", "loc1024", "scan", "multistart",
-              "f32dev", "layered"]
+              "f32dev", "layered", "layered_scan", "layered_ms"]
     for name in stages:
         remaining = _BUDGET_S - (time.monotonic() - t0)
         if remaining <= 30.0:

@@ -7,9 +7,10 @@ with the GCMT 2005 Mw 6.6 mechanism (strike=302, dip=88, rake=-14,
 Figs_9_10_11 cells 10-23) — the same experiment the reference drives with
 pyprop8. ``--physics farfield`` switches to the homogeneous far-field
 synthetic for a fast smoke run. Observed data carry white noise; one
-L-BFGS-B inversion per misfit plus a vmapped misfit-grid scan (the scan
-the reference runs as 1,764 serial objective evaluations and caches to
-pickle is one jitted call here).
+L-BFGS-B inversion per misfit plus a misfit-grid scan (the scan the
+reference runs as 1,764 serial objective evaluations and caches to
+pickle is one jitted call here — depth-amortized through
+layered_misfit_grid for the layered physics, 0.9 ms/node on one v5e).
 
 Run: python examples/loc_cmt_inversion.py [--physics layered|farfield]
      [--grid 7] [--nk 384] [--plot]
@@ -35,7 +36,7 @@ FUKUOKA_Y = [-75., -77., -70., -50., -46., -42., -25., -26., -23., -5., 30.]
 def main(physics: str = "layered", grid: int = 7, nk: int = 384,
          plot: bool = False) -> None:
     # CPU: float64 oracle path (x64). TPU: float32 inputs — the layered
-    # forward then runs its x64-free dd32/f32 band-split production path
+    # forward then runs its x64-free all-dd32 production path
     # (emulated f64 on this TPU runtime is ~1000x and miscompiles the
     # stack algebra; models/layered.py docstring).
     on_tpu = jax.default_backend() != "cpu"
@@ -102,23 +103,44 @@ def main(physics: str = "layered", grid: int = 7, nk: int = 384,
     # not — that contrast is the paper's point, so only OT is asserted)
     assert errs["OT"] < 2.0, f"OT recovery failed: |err|={errs['OT']:.3f} km"
 
-    # vmapped misfit surface scan over (x, y) at two depths ----------------
+    # misfit surface scan over (x, y) at two depths ------------------------
     opts = InvOptions(loc=True, cmt=False, mistype="OT")
     xs = jnp.linspace(-40.0, 44.0, grid)
     ys = jnp.linspace(-40.0, 44.0, grid)
     zs = jnp.array([10.0, 20.0]) if physics == "layered" else \
         jnp.array([6.0, 12.0, 20.0])
-    xv, yv, zv = jnp.meshgrid(xs, ys, zs, indexing="ij")
-    ms = jnp.stack([xv.ravel(), yv.ravel(), zv.ravel()], axis=1)
-    scan = jax.jit(lambda mm: misfit_grid(mm, prob, opts, cfg,
-                                          forward=forward))
+    if physics == "layered":
+        # depth-amortized scan: stage A (the expensive interface scans)
+        # once per z-slice, stage B + OT per (x, y) node — the measured
+        # 0.9 ms/node path (BASELINE.md round-5). z_loop='unroll' on CPU:
+        # the XLA CPU fusion emitter perturbs scan-wrapped f-k bodies
+        # (layered_misfit_grid docstring); TPU runs 'scan' clean.
+        from waveform_ot_tpu.inversion import layered_misfit_grid
+        from waveform_ot_tpu.models import make_layered_stages
+
+        stages = make_layered_stages(model=fukuoka_model(), nt=nt, dt=1.0,
+                                     nk=nk, kmax=1.8)
+        xv, yv = jnp.meshgrid(xs, ys, indexing="ij")
+        xy = jnp.stack([xv.ravel(), yv.ravel()], axis=1)
+        zv3, xv3, yv3 = jnp.meshgrid(zs, xs, ys, indexing="ij")
+        ms = jnp.stack([xv3.ravel(), yv3.ravel(), zv3.ravel()], axis=1)
+        z_loop = "scan" if on_tpu else "unroll"
+        scan = jax.jit(lambda zz, xx: layered_misfit_grid(
+            zz, xx, prob, opts, cfg, stages, z_loop=z_loop)[0].ravel())
+        scan_args = (zs, xy)
+    else:
+        xv, yv, zv = jnp.meshgrid(xs, ys, zs, indexing="ij")
+        ms = jnp.stack([xv.ravel(), yv.ravel(), zv.ravel()], axis=1)
+        scan = jax.jit(lambda mm: misfit_grid(mm, prob, opts, cfg,
+                                              forward=forward))
+        scan_args = (ms,)
     t0 = time.perf_counter()
-    vals = scan(ms)
+    vals = scan(*scan_args)
     jax.block_until_ready(vals)
     print(f"misfit grid {grid}x{grid}x{zs.shape[0]} = {ms.shape[0]} "
           f"objective evals: {time.perf_counter()-t0:.2f} s (incl. compile)")
     t0 = time.perf_counter()
-    vals = scan(ms)
+    vals = scan(*scan_args)
     jax.block_until_ready(vals)
     print(f"steady state: {time.perf_counter()-t0:.3f} s")
     imin = int(jnp.argmin(vals))
@@ -134,7 +156,10 @@ def main(physics: str = "layered", grid: int = 7, nk: int = 384,
         from waveform_ot_tpu import viz
 
         nz = int(zs.shape[0])
-        v3 = np.asarray(vals).reshape(grid, grid, nz)
+        if physics == "layered":   # layered scan orders (z, x, y)
+            v3 = np.moveaxis(np.asarray(vals).reshape(nz, grid, grid), 0, -1)
+        else:
+            v3 = np.asarray(vals).reshape(grid, grid, nz)
         xg, yg = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
         viz.plot_misfit_section(v3[:, :, nz - 1], xg, yg,
                                 sol=(float(loc_true[0]),

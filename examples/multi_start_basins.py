@@ -47,7 +47,7 @@ def main(nstarts: int = 16, nr: int = 8, cmt: bool = False,
     # Precision is chosen before ANY array creation (mixed-precision
     # pytrees break the solver's while_loop carries). CPU: float64 oracle
     # path (x64). TPU: float32 inputs — the layered forward runs its
-    # x64-free dd32/f32 band-split production path (emulated f64 on this
+    # x64-free all-dd32 production path (emulated f64 on this
     # TPU runtime is ~1000x and miscompiles; models/layered.py docstring).
     on_tpu = jax.default_backend() != "cpu"
     if not on_tpu and not jax.config.jax_enable_x64:

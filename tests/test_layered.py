@@ -361,3 +361,47 @@ class TestStructuredVJP:
         v0, g0 = jax.value_and_grad(loss)(ps[0])
         np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g0),
                                    rtol=1e-9)
+
+
+class TestCompiledCpuDDWarning:
+    """The one configuration with a known accuracy hazard — the f32 dd
+    stack JITTED on CPU (XLA CPU strips the seal barriers; ~1e-4 residue
+    at the omega=0 lane) — must warn at the public API; eager CPU (the
+    clean path) must not."""
+
+    def _run(self):
+        model = L.uniform_model(nlayers=1, dtype=jnp.float32)
+        st = StationSet(x=jnp.asarray([5.0], jnp.float32),
+                        y=jnp.asarray([3.0], jnp.float32))
+        return L.layered_seismograms(
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(2.0),
+            jnp.eye(3, dtype=jnp.float32), st, model=model, nt=8, dt=1.0,
+            nk=8, kmax=1.0)[1]
+
+    def test_cpu_jit_f32_warns_eager_does_not(self, monkeypatch):
+        import warnings
+
+        assert jax.default_backend() == "cpu"
+        monkeypatch.setattr(L, "_warned_compiled_cpu_dd", False)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            self._run()  # eager: op-by-op, bit-exact, no warning
+        assert not [w for w in rec if "omega=0" in str(w.message)]
+        monkeypatch.setattr(L, "_warned_compiled_cpu_dd", False)
+        with pytest.warns(UserWarning, match="omega=0"):
+            jax.jit(self._run)()
+
+    def test_f64_inputs_do_not_warn_under_jit(self, monkeypatch):
+        monkeypatch.setattr(L, "_warned_compiled_cpu_dd", False)
+        import warnings
+
+        model = L.uniform_model(nlayers=1, dtype=jnp.float64)
+        st = StationSet(x=jnp.asarray([5.0], jnp.float64),
+                        y=jnp.asarray([3.0], jnp.float64))
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            jax.jit(lambda: L.layered_seismograms(
+                jnp.float64(1.0), jnp.float64(0.0), jnp.float64(2.0),
+                jnp.eye(3, dtype=jnp.float64), st, model=model, nt=8,
+                dt=1.0, nk=8, kmax=1.0)[1])()
+        assert not [w for w in rec if "omega=0" in str(w.message)]

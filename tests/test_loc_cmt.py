@@ -209,6 +209,28 @@ class TestInversion:
         # the failed lane stays at its start point
         np.testing.assert_allclose(np.asarray(res.x[1]), [5.0, 0.0])
 
+    def test_host_batched_lbfgs_matches_device(self):
+        """The host-orchestrated batched L-BFGS (the form whose device
+        program is one batched evaluation — required for objectives whose
+        all-on-device while_loop crashes the remote compiler, see its
+        docstring) reaches the same minima as the on-device solver."""
+        from waveform_ot_tpu.inversion.lbfgs import (
+            minimize_lbfgs_batched, minimize_lbfgs_batched_host,
+        )
+
+        def rosen(x):
+            return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                           + (1 - x[:-1]) ** 2)
+
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.uniform(-2, 2, (8, 5)), jnp.float64)
+        rh = minimize_lbfgs_batched_host(rosen, x0, max_iter=400, tol=1e-8)
+        rd = minimize_lbfgs_batched(rosen, x0, max_iter=400, tol=1e-8)
+        # both land on the Rosenbrock minimum (1, ..., 1)
+        np.testing.assert_allclose(np.asarray(rh.x), 1.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rd.x), 1.0, atol=1e-4)
+        assert float(jnp.max(rh.grad_norm)) < 1e-5
+
     def test_multi_start_vmapped(self, setup):
         stations, loc, mxyz, seis_obs, cfg, prob = setup
         opts = InvOptions(loc=True, cmt=False, mistype="L2")
@@ -419,6 +441,65 @@ class TestLayeredFukuokaEndToEnd:
         err = float(np.linalg.norm(res.x - np.asarray(loc)))
         assert res.success, res
         assert err < 0.5, (res.x, err)
+
+    def test_layered_misfit_grid_matches_naive_vmap(self, layered_setup):
+        """The depth-amortized grid scan (stage A once per z-slice, stage
+        B per node — inversion/loc_cmt.layered_misfit_grid) must equal the
+        naive vmap of value_and_grad over the same nodes. f64 unroll mode:
+        both paths run the full-f64 stack eagerly, so the contract pins at
+        roundoff. (z_loop='scan' is NOT a valid CPU reference: the XLA CPU
+        fusion emitter perturbs the scan-wrapped f64 stack by ~1.7e-5 of
+        seismogram peak — measured, restored to 1e-15 by disabling the
+        fusion pass; see layered_misfit_grid's docstring.)"""
+        from waveform_ot_tpu.inversion import layered_misfit_grid
+        from waveform_ot_tpu.models import fukuoka_model, make_layered_stages
+
+        stations, loc, mxyz, obs, cfg, prob, forward, nt = layered_setup
+        opts = InvOptions(loc=True, cmt=False, mistype="OT")
+        stages = make_layered_stages(model=fukuoka_model(), nt=nt, dt=2.0,
+                                     nk=48, kmax=1.2)
+        zs = jnp.asarray([6.0, 10.0])
+        xy = jnp.asarray([[-4.0, -3.0], [2.0, 5.0], [0.5, 1.0]])
+        vals, grads = layered_misfit_grid(zs, xy, prob, opts, cfg, stages,
+                                          impl="jnp", z_loop="unroll")
+        assert vals.shape == (2, 3) and grads.shape == (2, 3, 3)
+
+        ms = jnp.asarray([[x, y, z] for z in np.asarray(zs)
+                          for (x, y) in np.asarray(xy)])
+        vn, gn = jax.vmap(lambda m: loc_cmt_value_and_grad(
+            m, prob, opts, cfg, forward=forward, impl="jnp"))(ms)
+        np.testing.assert_allclose(np.asarray(vals).ravel(),
+                                   np.asarray(vn), rtol=1e-9)
+        gscale = max(float(np.abs(np.asarray(gn)).max()), 1e-300)
+        np.testing.assert_allclose(np.asarray(grads).reshape(-1, 3),
+                                   np.asarray(gn), rtol=0,
+                                   atol=1e-9 * gscale)
+
+    def test_layered_misfit_grid_scan_and_chunk_modes(self, layered_setup):
+        """z_loop='scan' and xy_chunk must agree with unroll within the
+        documented CPU-compile envelope (the fusion-emitter deviation —
+        1e-3 guards gross breakage; TPU runs the scan mode clean)."""
+        from waveform_ot_tpu.inversion import layered_misfit_grid
+        from waveform_ot_tpu.models import fukuoka_model, make_layered_stages
+
+        stations, loc, mxyz, obs, cfg, prob, forward, nt = layered_setup
+        opts = InvOptions(loc=True, cmt=False, mistype="OT")
+        stages = make_layered_stages(model=fukuoka_model(), nt=nt, dt=2.0,
+                                     nk=48, kmax=1.2)
+        zs = jnp.asarray([8.0])
+        xy = jnp.asarray([[-4.0, -3.0], [2.0, 5.0], [0.5, 1.0]])
+        v1, g1 = layered_misfit_grid(zs, xy, prob, opts, cfg, stages,
+                                     impl="jnp", z_loop="unroll")
+        v2, g2 = layered_misfit_grid(zs, xy, prob, opts, cfg, stages,
+                                     impl="jnp")
+        v3, g3 = layered_misfit_grid(zs, xy, prob, opts, cfg, stages,
+                                     impl="jnp", xy_chunk=2)
+        gscale = max(float(np.abs(np.asarray(g1)).max()), 1e-300)
+        for v, g in ((v2, g2), (v3, g3)):
+            np.testing.assert_allclose(np.asarray(v), np.asarray(v1),
+                                       rtol=1e-3)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(g1),
+                                       rtol=0, atol=1e-3 * gscale)
 
     def test_moment_tensor_polish(self, layered_setup):
         """Moment_LS at the true location through the layered forward:

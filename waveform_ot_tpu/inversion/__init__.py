@@ -13,11 +13,13 @@ from waveform_ot_tpu.inversion.windows import (  # noqa: F401
     build_windows, default_grid_dims, unit_amplitude_windows,
 )
 from waveform_ot_tpu.inversion.loc_cmt import (  # noqa: F401
-    InvOptions, LocCMTProblem, build_loc_cmt_problem, loc_cmt_misfit,
-    loc_cmt_value_and_grad, misfit_grid, predicted_seismograms,
+    InvOptions, LocCMTProblem, build_loc_cmt_problem, layered_misfit_grid,
+    loc_cmt_misfit, loc_cmt_value_and_grad, misfit_from_seis, misfit_grid,
+    predicted_seismograms,
 )
 from waveform_ot_tpu.inversion.lbfgs import (  # noqa: F401
     LBFGSResult, minimize_lbfgs, minimize_lbfgs_batched,
+    minimize_lbfgs_batched_host,
     minimize_multi_start, minimize_multi_start_sharded, minimize_scipy,
 )
 from waveform_ot_tpu.inversion.trace import InversionTrace  # noqa: F401

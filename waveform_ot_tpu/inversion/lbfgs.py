@@ -20,6 +20,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 import optax.tree_utils as otu
 
@@ -254,6 +255,123 @@ def minimize_lbfgs_batched(fun: Callable, x0s, max_iter: int = 200,
     return LBFGSResult(x=st.x, fun=st.f,
                        grad_norm=jnp.linalg.norm(st.g, axis=-1),
                        n_iter=st.n_iter, ls_failed=st.failed)
+
+
+def minimize_lbfgs_batched_host(fun: Callable, x0s, max_iter: int = 200,
+                                tol: float = 1e-8, memory_size: int = 10,
+                                ls_max: int = 20,
+                                c1: float = 1e-4) -> LBFGSResult:
+    """Host-orchestrated :func:`minimize_lbfgs_batched`: the same masked
+    early-exit algorithm (two-loop recursion, value-only interpolation
+    backtracking, curvature-guarded memory), but the outer iteration and
+    linesearch CONTROL FLOW run in numpy while the only device programs
+    are one batched value+grad and one batched value evaluation.
+
+    Why it exists: the all-on-device while_loop form inlines ~3 copies of
+    the objective graph into one program; for very large traced
+    objectives (the layered f-k dd stack: 5.9 MB MLIR at the Fukuoka
+    flagship) that program crashes the remote TPU compiler (SIGSEGV,
+    observed round 5). Here the device never sees more than one batched
+    evaluation, at the cost of ~(1 + trials) launch overheads per
+    iteration — negligible against the layered objective's runtime.
+    """
+    x0s = jnp.asarray(x0s)
+    k, n = x0s.shape
+    m = memory_size
+    fbatch = jax.jit(jax.vmap(fun))
+    vgbatch = jax.jit(jax.vmap(jax.value_and_grad(fun)))
+
+    def np_vg(x):
+        f, g = vgbatch(jnp.asarray(x))
+        return np.asarray(f, np.float64), np.asarray(g, np.float64)
+
+    x = np.asarray(x0s, np.float64)
+    f, g = np_vg(x)
+    gn = np.linalg.norm(g, axis=-1)
+    finite0 = np.isfinite(f) & np.isfinite(gn)
+    S = np.zeros((m, k, n))
+    Y = np.zeros((m, k, n))
+    rho = np.zeros((m, k))
+    gamma = 1.0 / np.maximum(gn, 1.0)
+    active = finite0 & (gn >= tol)
+    failed = ~finite0
+    n_iter = np.zeros((k,), np.int64)
+
+    for _ in range(max_iter):
+        if not active.any():
+            break
+        # two-loop recursion (numpy mirror of _two_loop)
+        q = g.copy()
+        alphas = []
+        for i in range(m - 1, -1, -1):
+            a = rho[i] * np.sum(S[i] * q, axis=-1)
+            q -= a[:, None] * Y[i]
+            alphas.append(a)
+        d = gamma[:, None] * q
+        for i in range(m):
+            b = rho[i] * np.sum(Y[i] * d, axis=-1)
+            d += (alphas[m - 1 - i] - b)[:, None] * S[i]
+        d = -d
+        gd = np.sum(g * d, axis=-1)
+        bad = gd >= 0.0
+        d[bad] = -g[bad]
+        gd[bad] = -np.sum(g[bad] * g[bad], axis=-1)
+
+        alpha = np.ones((k,))
+        f_last = f.copy()
+        accepted = ~active
+        f_new = f.copy()
+        trials = 0
+        while (active & ~accepted).any() and trials < ls_max:
+            denom = f_last - f - gd * alpha
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a_interp = -0.5 * gd * alpha * alpha / np.where(
+                    denom > 0, denom, 1.0)
+            a_next = np.where(denom > 0,
+                              np.clip(a_interp, 0.1 * alpha, 0.7 * alpha),
+                              0.5 * alpha)
+            a_try = alpha if trials == 0 else np.where(accepted, alpha,
+                                                       a_next)
+            f_try = np.asarray(fbatch(jnp.asarray(
+                x + a_try[:, None] * d, x0s.dtype)), np.float64)
+            ok = f_try <= f + c1 * a_try * gd
+            take = active & ~accepted & ok
+            alpha = np.where(accepted, alpha, a_try)
+            f_last = np.where(accepted, f_last, f_try)
+            f_new = np.where(take, f_try, f_new)
+            accepted = accepted | take
+            trials += 1
+        moved = active & accepted & (f_new < f)
+
+        x_new = np.where(moved[:, None], x + alpha[:, None] * d, x)
+        f_acc, g_new = np_vg(x_new)
+        f_acc = np.where(moved, f_acc, f)
+        g_new = np.where(moved[:, None], g_new, g)
+
+        s = x_new - x
+        y = g_new - g
+        sy = np.sum(s * y, axis=-1)
+        yy = np.sum(y * y, axis=-1)
+        good = moved & (sy > 1e-12 * np.sqrt(np.sum(s * s, axis=-1) * yy))
+        S = np.concatenate([S[1:], s[None]], axis=0)
+        Y = np.concatenate([Y[1:], y[None]], axis=0)
+        rho_new = np.where(good, 1.0 / np.where(good, sy, 1.0), 0.0)
+        rho = np.concatenate([rho[1:], rho_new[None]], axis=0)
+        gamma = np.where(good, sy / np.maximum(yy, 1e-30), gamma)
+
+        gn = np.linalg.norm(g_new, axis=-1)
+        converged = moved & np.isfinite(gn) & (gn < tol)
+        still = active & moved & np.isfinite(gn) & (gn >= tol)
+        failed = failed | (active & ~still & ~converged)
+        n_iter += active.astype(np.int64)
+        x, f, g, active = x_new, f_acc, g_new, still
+
+    dtype = x0s.dtype
+    return LBFGSResult(x=jnp.asarray(x, dtype), fun=jnp.asarray(f, dtype),
+                       grad_norm=jnp.asarray(np.linalg.norm(g, axis=-1),
+                                             dtype),
+                       n_iter=jnp.asarray(n_iter, jnp.int32),
+                       ls_failed=jnp.asarray(failed))
 
 
 def minimize_multi_start_sharded(fun: Callable, x0s, mesh,

@@ -134,12 +134,12 @@ def predicted_seismograms(m, prob: LocCMTProblem, opts: InvOptions,
     return s
 
 
-def loc_cmt_misfit(m, prob: LocCMTProblem, opts: InvOptions,
-                   cfg: TraceConfig, forward: Callable | None = None,
-                   impl="auto"):
-    """Scalar OT (or L2) misfit summed over all traces
-    (loc_cmt_util.py:239-296). Fully differentiable w.r.t. ``m``."""
-    s = predicted_seismograms(m, prob, opts, forward=forward)
+def misfit_from_seis(s, prob: LocCMTProblem, opts: InvOptions,
+                     cfg: TraceConfig, impl="auto"):
+    """Scalar misfit of predicted seismograms ``s`` (nr, 3, nt) against
+    the problem's observed targets — the physics-independent tail of
+    :func:`loc_cmt_misfit`, exposed so staged forwards
+    (:func:`layered_misfit_grid`) can compose with it directly."""
     if opts.mistype == "L2":
         r = s - prob.seis_obs
         return jnp.sum(r * r)
@@ -160,6 +160,15 @@ def loc_cmt_misfit(m, prob: LocCMTProblem, opts: InvOptions,
     if opts.wopt == "Wu":
         return jnp.sum(wu)
     return 0.5 * (jnp.sum(wt) + jnp.sum(wu))
+
+
+def loc_cmt_misfit(m, prob: LocCMTProblem, opts: InvOptions,
+                   cfg: TraceConfig, forward: Callable | None = None,
+                   impl="auto"):
+    """Scalar OT (or L2) misfit summed over all traces
+    (loc_cmt_util.py:239-296). Fully differentiable w.r.t. ``m``."""
+    s = predicted_seismograms(m, prob, opts, forward=forward)
+    return misfit_from_seis(s, prob, opts, cfg, impl=impl)
 
 
 def loc_cmt_value_and_grad(m, prob: LocCMTProblem, opts: InvOptions,
@@ -207,3 +216,91 @@ def misfit_grid_sharded(ms, prob: LocCMTProblem, opts: InvOptions,
                                     impl=impl),
         mesh, axis_name=axis_name)
     return f(ms, prob)
+
+
+def layered_misfit_grid(zs, xy, prob: LocCMTProblem, opts: InvOptions,
+                        cfg: TraceConfig, stages, impl="auto",
+                        xy_chunk: int | None = None,
+                        z_loop: str = "scan"):
+    """Depth-amortized misfit-surface scan through the LAYERED physics:
+    value + (x, y, z) gradient at every node of a (z-slices x horizontal
+    nodes) grid — the reference's Figs_9_10_11 cell-64 workload (21x21x4
+    serial optfunc evaluations, cached to pickle because it is slow;
+    SURVEY.md 3.5).
+
+    The layered synthesis splits into a depth-only expensive stage A
+    (per-layer interface scans) and a cheap per-source stage B (Bessel
+    assembly + OT) — :func:`models.layered.make_layered_stages`. A naive
+    ``vmap(value_and_grad)`` over grid nodes re-runs stage A (and its
+    z-JVP) at every node; here each depth slice runs stage A ONCE and one
+    z-JVP ONCE, shared by all ``xy`` nodes of the slice, whose per-node
+    work is stage B forward + one reverse sweep. The per-node z gradient
+    is the contraction of that node's stage-A cotangent with the shared
+    z-tangent (exactly the structured-VJP identity of
+    make_layered_forward, amortized across the slice).
+
+    Args: zs (nz,) depths; xy (nxy, 2) horizontal nodes shared by every
+    slice; stages from ``make_layered_stages`` (same nt/dt/nk/... as the
+    problem); xy_chunk optionally bounds peak memory by evaluating the
+    horizontal nodes in chunks (must divide into nxy after padding).
+    CMT stays fixed at ``prob.mxyz_fixed`` (the reference grid scan is
+    location-only). Returns (values (nz, nxy), grads (nz, nxy, 3)).
+
+    ``z_loop``: 'scan' (default) iterates depth slices with ``lax.map`` —
+    one compiled stage-A body regardless of nz (the TPU production
+    choice). 'unroll' loops in Python — nz stage-A copies in the traced
+    program, but the only mode that is numerically exact on CPU: the XLA
+    CPU fusion emitter perturbs even the plain-FLOAT64 f-k stack when
+    its body is wrapped in an outer scan (measured 1.7e-5 of seismogram
+    peak at the Fukuoka nk=48 config, restored to 1e-15 by
+    ``--xla_disable_hlo_passes=fusion`` — the same barrier-stripping/
+    producer-duplication bug class as the ddfloat hazard, CLAUDE.md).
+    CPU oracles and parity tests must use 'unroll' (eagerly it never
+    compiles anything); TPU honors the fences and runs 'scan' clean.
+    """
+    if opts.cmt:
+        raise ValueError("layered_misfit_grid scans location only "
+                         "(cmt=True has no 3-vector gradient contract)")
+    from waveform_ot_tpu.models.layered import _moment_coeffs
+
+    stage_a, stage_b = stages
+    dtype = jnp.asarray(xy).dtype
+    a = _moment_coeffs(prob.mxyz_fixed, dtype)
+
+    def slice_eval(z):
+        zc = _clamp_depth_straight_through(z, opts.zmin)
+        ops, dops = jax.jvp(lambda zz: stage_a(zz, dtype), (zc,),
+                            (jnp.ones_like(zc),))
+        z_ng = jax.lax.stop_gradient(zc)
+
+        def node(xy1):
+            x_, y_ = xy1[0], xy1[1]
+
+            def f(ops_, xv, yv):
+                s = stage_b(ops_, xv, yv, z_ng, a, prob.stations)
+                return misfit_from_seis(s, prob, opts, cfg, impl=impl)
+
+            v, vjp = jax.vjp(f, ops, x_, y_)
+            g_ops, gx, gy = vjp(jnp.ones_like(v))
+            gz = sum(jnp.sum(go * do) for go, do in
+                     zip(jax.tree_util.tree_leaves(g_ops),
+                         jax.tree_util.tree_leaves(dops)))
+            return v, jnp.stack([gx, gy, jnp.asarray(gz, dtype)])
+
+        if xy_chunk is None or xy_chunk >= xy.shape[0]:
+            return jax.vmap(node)(xy)
+        nxy = xy.shape[0]
+        pad = (-nxy) % xy_chunk
+        xyp = jnp.concatenate([xy, xy[:pad]], 0) if pad else xy
+        vc, gc = jax.lax.map(jax.vmap(node),
+                             xyp.reshape(-1, xy_chunk, 2))
+        return vc.reshape(-1)[:nxy], gc.reshape(-1, 3)[:nxy]
+
+    zs = jnp.asarray(zs, dtype)
+    if z_loop == "unroll":
+        out = [slice_eval(zs[i]) for i in range(zs.shape[0])]
+        return (jnp.stack([v for v, _ in out]),
+                jnp.stack([g for _, g in out]))
+    if z_loop != "scan":
+        raise ValueError(f"unknown z_loop mode {z_loop!r}")
+    return jax.lax.map(slice_eval, zs)

@@ -12,6 +12,6 @@ from waveform_ot_tpu.models.seismo import (  # noqa: F401
 from waveform_ot_tpu.models import pyprop8_bridge  # noqa: F401
 from waveform_ot_tpu.models.layered import (  # noqa: F401
     LayeredModel, fukuoka_model, layered_model_from_table,
-    layered_seismograms, make_layered_forward, uniform_model,
-    wholespace_seismograms,
+    layered_seismograms, make_layered_forward, make_layered_stages,
+    uniform_model, wholespace_seismograms,
 )

@@ -859,6 +859,9 @@ class _SurfaceOperator(NamedTuple):
     chi_s: CZ           # (nk,) 2k^2 - om^2/vs_s^2
 
 
+_DD_IN_BODY_FENCES = True  # toggled by the seal experiments (BASELINE.md)
+
+
 def _surface_operator(model: LayeredModel, zs, om_c, k,
                       free_surface=True) -> _SurfaceOperator:
     """Build the moment-independent surface-response operator for one
@@ -882,6 +885,12 @@ def _surface_operator(model: LayeredModel, zs, om_c, k,
     eye_like = blk0[0]                                     # any (nk,2,2)
     ident2 = _stack2_identity(eye_like)
     identsh = _stacksh_identity(blk0[4])                   # (nk,) scalar like
+    # In-body scan fences exist for the (dead-on-TPU) f64-pair emulation
+    # path; the dd kind carries its own per-op seals, so its scan bodies
+    # stay fence-free unless the experiment flag re-enables them.
+    _fence = (jax.lax.optimization_barrier
+              if (_DD_IN_BODY_FENCES or not _is_dd(eye_like.re))
+              else (lambda c: c))
 
     mu = model.rho * model.vs ** 2                         # (nlay,)
     # pad a leading identity slot (NOT a[:1]: that is empty for a
@@ -917,7 +926,7 @@ def _surface_operator(model: LayeredModel, zs, om_c, k,
         # cross-step algebra for the omega=0 lane at production configs
         # (nk=512; the scan-exit barrier below catches only the small-nk
         # shapes). See the barrier note after the scan.
-        return jax.lax.optimization_barrier((SA2, SAsh)), None
+        return _fence((SA2, SAsh)), None
 
     # step i consumes interface (i-1, i): pad the stacks with one leading
     # identity slot (slot 0 is masked off by in_a[0] = False anyway)
@@ -944,7 +953,7 @@ def _surface_operator(model: LayeredModel, zs, om_c, k,
         SB2 = _stack2_compose(SB2, _where_stack(inb, if2_raw, ident2))
         SBsh = _stacksh_compose(SBsh, _where_stack(inb, ifsh_raw, identsh))
         # in-body fence — see a_step
-        return jax.lax.optimization_barrier((SB2, SBsh)), None
+        return _fence((SB2, SBsh)), None
 
     (SB2, SBsh), _ = jax.lax.scan(
         b_step, (ident2, identsh),
@@ -1321,6 +1330,38 @@ def _source_geometry(x, y, z, stations: StationSet, model: LayeredModel):
     return r, phi, rho_src
 
 
+_warned_compiled_cpu_dd = False
+
+
+def _warn_if_compiled_cpu_dd(x) -> None:
+    """Guard the one configuration with a known accuracy hazard: the f32
+    (double-float32) stack JITTED ON CPU. XLA's CPU pipeline strips the
+    ddfloat seal barriers, and even with the materialized-stack seal the
+    compiled program retains ~1e-4-relative residue at the degenerate
+    omega=0 lane (eager CPU and compiled TPU are clean at ~5.6e-6 of
+    peak — see CLAUDE.md / BASELINE.md). Warn once per process when the
+    forward is being TRACED (x is a Tracer: jit/grad/vmap) with the CPU
+    backend active, so a user cannot silently get 1e-4-level physics;
+    float64 inputs (the full-f64 stack, requires x64) are the accurate
+    CPU path."""
+    global _warned_compiled_cpu_dd
+    if _warned_compiled_cpu_dd:
+        return
+    if jax.default_backend() != "cpu" or not isinstance(x, jax.core.Tracer):
+        return
+    _warned_compiled_cpu_dd = True
+    import warnings
+
+    warnings.warn(
+        "layered_seismograms: float32 (double-float32) stack traced on the "
+        "CPU backend — XLA CPU compilation leaves ~1e-4-relative residue "
+        "at the omega=0 lane (the fusion emitter partially defeats the "
+        "compensated arithmetic; TPU and eager CPU are clean). For "
+        "accuracy-critical CPU work use float64 inputs "
+        "(jax.config.update('jax_enable_x64', True)).",
+        stacklevel=3)
+
+
 def layered_seismograms(x, y, z, mxyz, stations: StationSet,
                         model: LayeredModel | None = None, nt: int = 61,
                         dt: float = 1.0, stf=("clp_step", 0.05, 0.2),
@@ -1377,6 +1418,8 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
             "float64 layered_seismograms inputs require "
             "jax.config.update('jax_enable_x64', True); use float32 "
             "inputs for the x64-free dd32 path")
+    if dtype != jnp.float64:
+        _warn_if_compiled_cpu_dd(jnp.asarray(x))
     if hp_below is None:
         hp_below = math.inf
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -1397,6 +1440,63 @@ def layered_seismograms(x, y, z, mxyz, stations: StationSet,
                           alpha_damp, t0, dtype, cdtype)
     tt = t0 + dt * jnp.arange(nt, dtype=dtype)
     return tt, u
+
+
+def make_layered_stages(model: LayeredModel | None = None, nt: int = 61,
+                        dt: float = 1.0, stf=("clp_step", 0.05, 0.2),
+                        alpha_damp: float = 0.023, pad: int = 2,
+                        t0: float = 0.0, nk: int = 1024, kmax: float = 2.5,
+                        free_surface: bool = True,
+                        hp_below: float | None = None):
+    """The two halves of the synthesis, exposed for depth-amortized use:
+
+      * ``stage_a(z, dtype) -> ops_tuple`` — the moment-independent
+        surface operators (per-layer interface scans; the EXPENSIVE
+        stage). Depends on the source only through its scalar depth.
+      * ``stage_b(ops_tuple, x, y, z_ng, a, stations) -> (nr, 3, nt)`` —
+        apply moment coefficients ``a`` (:func:`_moment_coeffs`), run the
+        Bessel/receiver assembly and FFT synthesis (the CHEAP stage;
+        ``z_ng`` only selects the source-layer density, pass it
+        stop-gradiented).
+
+    ``stage_a(z1) == stage_a(z2)`` whenever z1, z2 share a layer is NOT
+    true (partial phase thicknesses depend on z continuously) — but many
+    GRID nodes share one exact z, which is what
+    :func:`waveform_ot_tpu.inversion.loc_cmt.layered_misfit_grid`
+    amortizes: one stage-A (+ one z-JVP) per depth slice, stage B per
+    node. :func:`make_layered_forward`'s structured VJP composes the same
+    two stages for single-source gradients.
+    """
+    if model is None:
+        model = fukuoka_model()
+    hp = math.inf if hp_below is None else hp_below
+
+    def _plan_for(dtype):
+        return _synth_plan(nt, dt, pad, stf, nk, kmax, hp)
+
+    def stage_a(z, dtype):
+        plan = _plan_for(dtype)
+        return tuple(_band_operators(model, z, plan.k_np, om_band, kind,
+                                     alpha_damp, free_surface)
+                     for om_band, kind in _plan_bands(plan, dtype))
+
+    def stage_b(ops_tuple, x, y, z_ng, a, stns):
+        dtype = jnp.asarray(x).dtype
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        plan = _plan_for(dtype)
+        r, phi, rho_src = _source_geometry(x, y, z_ng, stns, model)
+        parts = [
+            _band_spectra(ops, a, plan.k_np, plan.dk, r, phi, rho_src,
+                          om_band, kind, alpha_damp, dtype)
+            for ops, (om_band, kind) in zip(ops_tuple,
+                                            _plan_bands(plan, dtype))]
+        spec_cz = parts[0] if len(parts) == 1 else CZ(
+            jnp.concatenate([p.re for p in parts]),
+            jnp.concatenate([p.im for p in parts]))
+        return _finish_synthesis(spec_cz, plan.om_np, plan.nfft, nt, dt,
+                                 stf, alpha_damp, t0, dtype, cdtype)
+
+    return stage_a, stage_b
 
 
 def make_layered_forward(stations: StationSet | None = None,
@@ -1447,42 +1547,8 @@ def make_layered_forward(stations: StationSet | None = None,
     if not structured_vjp:
         return bind(plain)
 
-    stf = kw.get("stf", ("clp_step", 0.05, 0.2))
-    alpha_damp = kw.get("alpha_damp", 0.023)
-    pad = kw.get("pad", 2)
-    t0 = kw.get("t0", 0.0)
-    nk = kw.get("nk", 1024)
-    kmax = kw.get("kmax", 2.5)
-    free_surface = kw.get("free_surface", True)
-    hp_below = kw.get("hp_below", None)
-
-    def _plan_for(dtype):
-        hp = hp_below
-        if hp is None:
-            hp = math.inf
-        return _synth_plan(nt, dt, pad, stf, nk, kmax, hp)
-
-    def _stage_a(z, dtype):
-        plan = _plan_for(dtype)
-        return tuple(_band_operators(model, z, plan.k_np, om_band, kind,
-                                     alpha_damp, free_surface)
-                     for om_band, kind in _plan_bands(plan, dtype))
-
-    def _stage_b(ops_tuple, x, y, z_ng, a, stns):
-        dtype = jnp.asarray(x).dtype
-        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-        plan = _plan_for(dtype)
-        r, phi, rho_src = _source_geometry(x, y, z_ng, stns, model)
-        parts = [
-            _band_spectra(ops, a, plan.k_np, plan.dk, r, phi, rho_src,
-                          om_band, kind, alpha_damp, dtype)
-            for ops, (om_band, kind) in zip(ops_tuple,
-                                            _plan_bands(plan, dtype))]
-        spec_cz = parts[0] if len(parts) == 1 else CZ(
-            jnp.concatenate([p.re for p in parts]),
-            jnp.concatenate([p.im for p in parts]))
-        return _finish_synthesis(spec_cz, plan.om_np, plan.nfft, nt, dt,
-                                 stf, alpha_damp, t0, dtype, cdtype)
+    _stage_a, _stage_b = make_layered_stages(model=model, nt=nt, dt=dt,
+                                             **kw)
 
     @jax.custom_vjp
     def forward(x, y, z, mxyz, stns):

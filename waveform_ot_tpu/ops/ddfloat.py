@@ -57,25 +57,39 @@ _SPLIT_F64 = 134217729.0     # float64: p=53 -> 2^27 + 1
 
 
 _SEAL_MODE_OVERRIDE: str | None = None  # None = per-backend auto
+_SEAL_GRANULARITY_OVERRIDE: str | None = None  # None = per-backend auto
 
 
-def set_seal_mode(mode: str | None) -> None:
+def set_seal_mode(mode: str | None, granularity: str | None = None) -> None:
     """Force the seal strategy: 'stack', 'tuple', 'none', or None (auto:
-    'tuple' on TPU, 'stack' elsewhere). Takes effect at TRACE time — call
-    before building/jitting any DD program (already-traced programs keep
-    the mode they were traced with). Exposed for the seal-mode
-    experiments recorded in BASELINE.md; production code should leave
-    the auto selection alone."""
-    global _SEAL_MODE_OVERRIDE
+    'tuple' on TPU, 'stack' elsewhere), and optionally the granularity:
+    'eft' (every error-free transform seals its pair — the only safe
+    choice on CPU) or 'op' (seal only at DD operation exits — each +,*,
+    /,sqrt,... compiles to ONE fusion instead of 2-4, cutting the
+    HBM-materialization count; TPU-validated, see BASELINE.md). Takes
+    effect at TRACE time — call before building/jitting any DD program
+    (already-traced programs keep the mode they were traced with).
+    Exposed for the seal experiments recorded in BASELINE.md; production
+    code should leave the auto selection alone."""
+    global _SEAL_MODE_OVERRIDE, _SEAL_GRANULARITY_OVERRIDE
     if mode not in (None, "stack", "tuple", "none"):
         raise ValueError(f"unknown seal mode {mode!r}")
+    if granularity not in (None, "eft", "op"):
+        raise ValueError(f"unknown seal granularity {granularity!r}")
     _SEAL_MODE_OVERRIDE = mode
+    _SEAL_GRANULARITY_OVERRIDE = granularity
 
 
 def _seal_mode() -> str:
     if _SEAL_MODE_OVERRIDE is not None:
         return _SEAL_MODE_OVERRIDE
     return "tuple" if jax.default_backend() == "tpu" else "stack"
+
+
+def _seal_granularity() -> str:
+    if _SEAL_GRANULARITY_OVERRIDE is not None:
+        return _SEAL_GRANULARITY_OVERRIDE
+    return "eft"
 
 
 def _seal(hi, lo):
@@ -115,6 +129,22 @@ def _seal(hi, lo):
     return packed[0], packed[1]
 
 
+def _seal_eft(hi, lo):
+    """Seal INSIDE an error-free transform — skipped in 'op' granularity,
+    where the enclosing DD operation seals its final pair instead (one
+    fusion per DD op instead of one per EFT; see set_seal_mode)."""
+    if _seal_granularity() == "op":
+        return hi, lo
+    return _seal(hi, lo)
+
+
+def _seal_result(d: "DD") -> "DD":
+    """Seal at a DD operation's exit — active only in 'op' granularity."""
+    if _seal_granularity() == "op":
+        return DD(*_seal(d.hi, d.lo))
+    return d
+
+
 def _pin(x):
     """Pin a plain-float seed value to ONE evaluation (see _seal): an
     optimization barrier stops XLA from duplicating its computation into
@@ -129,14 +159,14 @@ def _two_sum(a, b):
     s = a + b
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
-    return _seal(s, err)
+    return _seal_eft(s, err)
 
 
 def _quick_two_sum(a, b):
     """Dekker FastTwoSum: requires |a| >= |b| (or a == 0)."""
     s = a + b
     err = b - (s - a)
-    return _seal(s, err)
+    return _seal_eft(s, err)
 
 
 def _two_prod(a, b):
@@ -156,7 +186,7 @@ def _two_prod(a, b):
     bh = t - (t - b)
     bl = b - bh
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return _seal(p, err)
+    return _seal_eft(p, err)
 
 
 class DD:
@@ -215,7 +245,7 @@ class DD:
         s2 = s2 + t1
         s1, s2 = _quick_two_sum(s1, s2)
         s2 = s2 + t2
-        return DD(*_quick_two_sum(s1, s2))
+        return _seal_result(DD(*_quick_two_sum(s1, s2)))
 
     __radd__ = __add__
 
@@ -237,7 +267,7 @@ class DD:
             return NotImplemented
         p1, p2 = _two_prod(self.hi, o.hi)
         p2 = p2 + (self.hi * o.lo + self.lo * o.hi)
-        return DD(*_quick_two_sum(p1, p2))
+        return _seal_result(DD(*_quick_two_sum(p1, p2)))
 
     __rmul__ = __mul__
 
@@ -433,7 +463,8 @@ def sqrt(d: DD) -> DD:
     e = d - DD(*_two_prod(ax, ax))                    # d - ax^2, dd-exact
     r = DD(*_quick_two_sum(ax, e.hi * (x * 0.5)))
     zero = (d.hi + d.lo) <= 0
-    return DD(jnp.where(zero, 0.0, r.hi), jnp.where(zero, 0.0, r.lo))
+    return _seal_result(DD(jnp.where(zero, 0.0, r.hi),
+                           jnp.where(zero, 0.0, r.lo)))
 
 
 _EXP_TERMS = 13          # e^r Taylor terms, |r| <= ln2/2: rem < 2^-52
@@ -478,7 +509,7 @@ def _scale_exp2(d: DD, m):
     m1 = jnp.trunc(m * 0.5)
     s1 = _pow2_exact(m1)
     s2 = _pow2_exact(m - m1)
-    return DD(d.hi * s1 * s2, d.lo * s1 * s2)
+    return _seal_result(DD(d.hi * s1 * s2, d.lo * s1 * s2))
 
 
 def exp(d: DD) -> DD:
