@@ -309,8 +309,14 @@ def bench_layered_multistart(impl: str, n_iter: int):
         return loc_cmt_misfit(m, prob, opts, cfg, forward=forward,
                               impl=impl)
 
-    run = lambda xs: minimize_lbfgs_batched_host(fobj, xs, max_iter=30,
-                                                 tol=3e-5)
+    # eval_chunk=16: the 64-lane batched layered vag exceeds one v5e's
+    # HBM in a single program; four 16-lane evaluations per step fit.
+    # tol 1e-4 / ls_max 8: the f32 layered gradient's noise floor sits
+    # above 3e-5, so a tighter tol just burns full linesearch rounds on
+    # frozen-at-noise lanes (the err<1 km recovery is what's asserted).
+    run = lambda xs: minimize_lbfgs_batched_host(fobj, xs, max_iter=25,
+                                                 tol=1e-4, eval_chunk=16,
+                                                 ls_max=8)
     per_study = _time(run, (starts,), n_iter)
     res = run(starts)
     err = np.asarray(jnp.linalg.norm(res.x - jnp.asarray(loc), axis=1))

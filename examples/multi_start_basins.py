@@ -121,8 +121,19 @@ def main(nstarts: int = 16, nr: int = 8, cmt: bool = False,
     for mistype in ("OT", "L2"):
         opts = InvOptions(loc=True, cmt=cmt, mistype=mistype, precon=cmt)
         fn = lambda m: loc_cmt_misfit(m, prob, opts, cfg, forward=forward)
-        run = jax.jit(lambda xs: minimize_multi_start(fn, xs,
-                                                      max_iter=max_iter))
+        if physics == "layered":
+            # host-orchestrated batched L-BFGS: the all-on-device
+            # while_loop inlines ~3 copies of the dd objective graph and
+            # can crash the remote TPU compiler at this program size
+            # (lbfgs.minimize_lbfgs_batched_host docstring); the device
+            # still evaluates every start as one batched program per step
+            from waveform_ot_tpu.inversion import minimize_lbfgs_batched_host
+
+            run = lambda xs: minimize_lbfgs_batched_host(
+                fn, xs, max_iter=max_iter, eval_chunk=16)
+        else:
+            run = jax.jit(lambda xs: minimize_multi_start(
+                fn, xs, max_iter=max_iter))
         t0 = time.perf_counter()
         res = run(starts)
         jax.block_until_ready(res.x)

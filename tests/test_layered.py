@@ -290,13 +290,21 @@ class TestMixedPrecisionStack:
         magnitude agreement against the f64 oracle gradient."""
         st = StationSet(x=jnp.asarray([10., 30.], jnp.float32),
                         y=jnp.asarray([-75., -50.], jnp.float32))
-        mod = L.fukuoka_model()
+        # a three-layer crust: the mixed-precision contract is
+        # model-agnostic and the full Fukuoka stack doubles the eager
+        # scan cost. Production gradient path (structured VJP) — its
+        # equality with plain AD is pinned separately by
+        # TestStructuredVJP::test_matches_plain_autodiff; reverse-mode
+        # through the raw dd scans here cost ~900 s of suite time.
+        mod = L.layered_model_from_table([(2.0, 5.15, 2.85, 2.5),
+                                          (16.0, 6.0, 3.46, 2.7),
+                                          (0.0, 7.7, 4.3, 3.3)])
+        fwd = L.make_layered_forward(model=mod, nt=33, dt=1.0, nk=64,
+                                     kmax=1.5)
 
         def f(p, dtype):
-            _, s = L.layered_seismograms(
-                p[0], p[1], p[2], M_GEN.astype(dtype),
-                StationSet(x=st.x.astype(dtype), y=st.y.astype(dtype)),
-                model=mod, nt=33, dt=1.0, nk=128, kmax=1.5)
+            s = fwd(p[0], p[1], p[2], M_GEN.astype(dtype),
+                    StationSet(x=st.x.astype(dtype), y=st.y.astype(dtype)))
             return jnp.sum(s * s)
 
         g32 = np.asarray(jax.grad(lambda p: f(p, jnp.float32))(
@@ -385,11 +393,14 @@ class TestCompiledCpuDDWarning:
         monkeypatch.setattr(L, "_warned_compiled_cpu_dd", False)
         with warnings.catch_warnings(record=True) as rec:
             warnings.simplefilter("always")
-            self._run()  # eager: op-by-op, bit-exact, no warning
+            # concrete (non-Tracer) argument = the eager path: no warning
+            L._warn_if_compiled_cpu_dd(jnp.float32(1.0))
         assert not [w for w in rec if "omega=0" in str(w.message)]
         monkeypatch.setattr(L, "_warned_compiled_cpu_dd", False)
+        # the guard fires at TRACE time (x is a Tracer), so eval_shape —
+        # which traces without compiling or running — is the cheap probe
         with pytest.warns(UserWarning, match="omega=0"):
-            jax.jit(self._run)()
+            jax.eval_shape(self._run)
 
     def test_f64_inputs_do_not_warn_under_jit(self, monkeypatch):
         monkeypatch.setattr(L, "_warned_compiled_cpu_dd", False)
@@ -400,8 +411,8 @@ class TestCompiledCpuDDWarning:
                         y=jnp.asarray([3.0], jnp.float64))
         with warnings.catch_warnings(record=True) as rec:
             warnings.simplefilter("always")
-            jax.jit(lambda: L.layered_seismograms(
+            jax.eval_shape(lambda: L.layered_seismograms(
                 jnp.float64(1.0), jnp.float64(0.0), jnp.float64(2.0),
                 jnp.eye(3, dtype=jnp.float64), st, model=model, nt=8,
-                dt=1.0, nk=8, kmax=1.0)[1])()
+                dt=1.0, nk=8, kmax=1.0)[1])
         assert not [w for w in rec if "omega=0" in str(w.message)]

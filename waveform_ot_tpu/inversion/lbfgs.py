@@ -257,10 +257,15 @@ def minimize_lbfgs_batched(fun: Callable, x0s, max_iter: int = 200,
                        n_iter=st.n_iter, ls_failed=st.failed)
 
 
+import weakref
+
+_HOST_JIT_CACHE = weakref.WeakKeyDictionary()
+
+
 def minimize_lbfgs_batched_host(fun: Callable, x0s, max_iter: int = 200,
                                 tol: float = 1e-8, memory_size: int = 10,
-                                ls_max: int = 20,
-                                c1: float = 1e-4) -> LBFGSResult:
+                                ls_max: int = 20, c1: float = 1e-4,
+                                eval_chunk: int | None = None) -> LBFGSResult:
     """Host-orchestrated :func:`minimize_lbfgs_batched`: the same masked
     early-exit algorithm (two-loop recursion, value-only interpolation
     backtracking, curvature-guarded memory), but the outer iteration and
@@ -274,15 +279,44 @@ def minimize_lbfgs_batched_host(fun: Callable, x0s, max_iter: int = 200,
     observed round 5). Here the device never sees more than one batched
     evaluation, at the cost of ~(1 + trials) launch overheads per
     iteration — negligible against the layered objective's runtime.
+
+    ``eval_chunk`` evaluates the k lanes in fixed-size chunks (k padded
+    up): bounds the device program's working set for memory-heavy
+    objectives (the 64-lane layered vag exceeds one v5e's HBM unchunked).
     """
     x0s = jnp.asarray(x0s)
     k, n = x0s.shape
     m = memory_size
-    fbatch = jax.jit(jax.vmap(fun))
-    vgbatch = jax.jit(jax.vmap(jax.value_and_grad(fun)))
+    # Memoize the jitted evaluators per objective: re-tracing the
+    # objective on every solver call costs MINUTES for large graphs (the
+    # layered dd stack re-traces in ~4 min even with the persistent
+    # compile cache warm — measured round 5), and callers like the bench
+    # invoke the solver repeatedly with one fun.
+    try:
+        _fb, _vgb = _HOST_JIT_CACHE[fun]
+    except (KeyError, TypeError):
+        _fb = jax.jit(jax.vmap(fun))
+        _vgb = jax.jit(jax.vmap(jax.value_and_grad(fun)))
+        try:
+            _HOST_JIT_CACHE[fun] = (_fb, _vgb)
+        except TypeError:
+            pass
+
+    def _chunked(fn, x):
+        if eval_chunk is None or eval_chunk >= x.shape[0]:
+            return fn(x)
+        pad = (-x.shape[0]) % eval_chunk
+        xp = jnp.concatenate([x, x[:pad]], 0) if pad else x
+        outs = [fn(xp[i:i + eval_chunk])
+                for i in range(0, xp.shape[0], eval_chunk)]
+        return jax.tree_util.tree_map(
+            lambda *cs: jnp.concatenate(cs, 0)[:x.shape[0]], *outs)
+
+    fbatch = lambda x: _chunked(_fb, x)
+    vgbatch = lambda x: _chunked(_vgb, x)
 
     def np_vg(x):
-        f, g = vgbatch(jnp.asarray(x))
+        f, g = vgbatch(jnp.asarray(x, x0s.dtype))
         return np.asarray(f, np.float64), np.asarray(g, np.float64)
 
     x = np.asarray(x0s, np.float64)

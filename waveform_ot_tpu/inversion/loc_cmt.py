@@ -262,8 +262,27 @@ def layered_misfit_grid(zs, xy, prob: LocCMTProblem, opts: InvOptions,
         raise ValueError("layered_misfit_grid scans location only "
                          "(cmt=True has no 3-vector gradient contract)")
     from waveform_ot_tpu.models.layered import _moment_coeffs
+    from waveform_ot_tpu.ops import ddfloat as _ddf
 
     stage_a, stage_b = stages
+    # Trace this program at 'eft' seal granularity regardless of the
+    # backend default: the 'op'-granularity form of THIS program shape
+    # (vjp-through-stage-B x vmap x lax.map) builds fusions large enough
+    # to crash the remote TPU compiler (SIGSEGV, reproduced at xy_chunk
+    # 21 and 63 — round 5). The eft form compiles and runs the full
+    # 1,764-node flagship scan in 1.6 s (BASELINE.md).
+    _prev_gran = _ddf._SEAL_GRANULARITY_OVERRIDE
+    _ddf.set_seal_mode(_ddf._SEAL_MODE_OVERRIDE, "eft")
+    try:
+        return _layered_misfit_grid_body(zs, xy, prob, opts, cfg, stage_a,
+                                         stage_b, _moment_coeffs, impl,
+                                         xy_chunk, z_loop)
+    finally:
+        _ddf._SEAL_GRANULARITY_OVERRIDE = _prev_gran
+
+
+def _layered_misfit_grid_body(zs, xy, prob, opts, cfg, stage_a, stage_b,
+                              _moment_coeffs, impl, xy_chunk, z_loop):
     dtype = jnp.asarray(xy).dtype
     a = _moment_coeffs(prob.mxyz_fixed, dtype)
 

@@ -859,7 +859,12 @@ class _SurfaceOperator(NamedTuple):
     chi_s: CZ           # (nk,) 2k^2 - om^2/vs_s^2
 
 
-_DD_IN_BODY_FENCES = True  # toggled by the seal experiments (BASELINE.md)
+# dd scan bodies skip the in-body fences (measured: no accuracy effect —
+# bit-identical seismograms/grads vs the f64 oracle with or without — and
+# the per-op dd seals already pin the arithmetic; the fences remain for
+# the f64-pair kinds, whose emulation path needed them). Toggled by the
+# seal experiments recorded in BASELINE.md.
+_DD_IN_BODY_FENCES = False
 
 
 def _surface_operator(model: LayeredModel, zs, om_c, k,

@@ -89,7 +89,14 @@ def _seal_mode() -> str:
 def _seal_granularity() -> str:
     if _SEAL_GRANULARITY_OVERRIDE is not None:
         return _SEAL_GRANULARITY_OVERRIDE
-    return "eft"
+    # TPU: 'op' measured BIT-IDENTICAL to 'eft' on the layered flagship
+    # (seismogram/grad deviations equal to every digit vs the f64 oracle)
+    # at 6.2x the forward / 2.2x the value_and_grad throughput — each DD
+    # op compiles to one fusion instead of 2-4, so 3-4x fewer HBM
+    # materializations (BASELINE.md round-5 seal table). CPU keeps 'eft':
+    # its pipeline strips barriers, and only the per-EFT stacked-tensor
+    # seal protects the compensation there.
+    return "op" if jax.default_backend() == "tpu" else "eft"
 
 
 def _seal(hi, lo):
